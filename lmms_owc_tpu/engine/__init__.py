@@ -1,0 +1,6 @@
+"""Evaluation engine: orchestration + tracking (parity surface: reference src/engine/)."""
+
+from lmms_owc_tpu.engine.evaluator import evaluate, simple_evaluate
+from lmms_owc_tpu.engine.tracker import EngineTracker, GeneralConfigTracker
+
+__all__ = ["EngineTracker", "GeneralConfigTracker", "evaluate", "simple_evaluate"]

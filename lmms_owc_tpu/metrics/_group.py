@@ -93,19 +93,23 @@ def bits_per_byte(items: list) -> float:
 
 
 def _sacreformat(refs: list, preds: list) -> tuple:
-    """Shape refs/preds for sacrebleu corpus scoring (refs transposed per-reference-set)."""
-    if not isinstance(refs, Iterable) or isinstance(refs, str):
-        refs = list(refs)
+    """Shape refs/preds for sacrebleu corpus scoring.
+
+    refs -> list of reference streams (transposed so stream i holds every doc's i-th
+    reference); preds -> flat list of hypothesis strings. Note: the reference's
+    version (src/data/metrics/_group.py:80-102) leaves list-wrapped preds nested,
+    which modern sacrebleu rejects; here singleton prediction lists are unwrapped.
+    """
+    refs = list(refs)
     if not isinstance(refs[0], Iterable) or isinstance(refs[0], str):
         refs = [[ref] for ref in refs]
     refs = list(zip(*refs))
 
-    if not isinstance(preds, Iterable) or isinstance(preds, str):
-        preds = list(preds)
-    if not isinstance(preds[0], Iterable) or isinstance(preds[0], str):
-        if len(preds) != 1:
-            raise ValueError(f"pred must be a str, found {preds}")
-        preds = [pred[0] for pred in preds]
+    preds = list(preds)
+    preds = [
+        pred if isinstance(pred, str) else pred[0]
+        for pred in preds
+    ]
     return refs, preds
 
 

@@ -1,0 +1,142 @@
+"""Model adapter base class — the bridge between engine requests and the JAX stack.
+
+Functional parity with reference src/models/_base.py (Model ABC: distributed setup,
+dtype/quantization flags, response CacheHook, abstract ``loglikelihood`` /
+``generate_until`` / ``generate_until_multi_round``), re-architected for TPU:
+
+  - The reference replicates a torch model per accelerate process and hard-limits
+    ``batch_size=1`` (src/models/_base.py:103-104). Here one JAX process drives all
+    local TPU chips through a ``jax.sharding.Mesh``; ``batch_size`` is the per-step
+    *macro batch* that continuous batching packs onto the data axis of the mesh.
+  - DDP/FSDP/DeepSpeed/device_map (src/models/_base.py:146-186) are replaced by GSPMD
+    sharding rules applied at weight-load time (lmms_owc_tpu.parallel).
+  - ``rank`` / ``world_size`` map to ``jax.process_index()`` / ``jax.process_count()``
+    (multi-host DCN), not to devices: request sharding stays identical to the
+    reference, while intra-host parallelism happens inside the batched forward.
+"""
+
+from __future__ import annotations
+
+import abc
+import hashlib
+import json
+import os
+from typing import TYPE_CHECKING
+
+from lmms_owc_tpu.utils import get_logger
+
+if TYPE_CHECKING:
+    from lmms_owc_tpu.tasks._base import TaskInstance
+
+log = get_logger(__name__)
+
+__all__ = ["CacheHook", "Model"]
+
+
+class CacheHook:
+    """sha256(request) -> response cache, persisted as JSON lines.
+
+    Functional replacement for the reference's sqlite-intended cache scaffold
+    (src/models/_base.py:23-53); enabled via ``--use_cache DIR``.
+    """
+
+    def __init__(self, cache_dir: str | None = None) -> None:
+        self.cache_dir = cache_dir
+        self._store: dict[str, object] = {}
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            self._path = os.path.join(cache_dir, "responses.jsonl")
+            if os.path.exists(self._path):
+                with open(self._path, encoding="utf-8") as f:
+                    for line in f:
+                        try:
+                            record = json.loads(line)
+                            self._store[record["key"]] = record["value"]
+                        except (json.JSONDecodeError, KeyError):
+                            continue
+
+    @staticmethod
+    def hash_args(attr: str, args: tuple) -> str:
+        payload = json.dumps([attr, *[str(a) for a in args]], ensure_ascii=False)
+        return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+    def get(self, attr: str, args: tuple):
+        return self._store.get(self.hash_args(attr, args))
+
+    def add_partial(self, attr: str, args: tuple, value) -> None:
+        key = self.hash_args(attr, args)
+        self._store[key] = value
+        if self.cache_dir is not None:
+            with open(self._path, "a", encoding="utf-8") as f:
+                f.write(json.dumps({"key": key, "value": value}, ensure_ascii=False) + "\n")
+
+
+class Model(abc.ABC):
+    """Base class for all model adapters.
+
+    Subclasses implement ``load_model`` plus the three request handlers. The handlers
+    receive lists of ``TaskInstance`` and must append responses to each instance's
+    ``resps`` — identical dataflow to the reference engine.
+    """
+
+    def __init__(
+        self,
+        model_id: str | None = None,
+        batch_size: int = 8,
+        dtype: str = "bfloat16",
+        device: str | None = None,
+        use_cache: str | None = None,
+        mesh_shape: dict | None = None,
+        **kwargs,
+    ) -> None:
+        self.model_id = model_id
+        self.batch_size = int(batch_size)
+        self.dtype = dtype
+        self.device = device
+        self.mesh_shape = mesh_shape
+        self._extra_kwargs = kwargs
+        self.cache_hook = CacheHook(use_cache)
+        self.task_dict: dict = {}
+
+        self.load_model()
+
+    # ---------------------------------------------------------------- identity
+
+    @property
+    def rank(self) -> int:
+        """Process index over the DCN (multi-host) axis; 0 on a single host."""
+        try:
+            import jax
+
+            return jax.process_index()
+        except Exception:
+            return 0
+
+    @property
+    def world_size(self) -> int:
+        try:
+            import jax
+
+            return jax.process_count()
+        except Exception:
+            return 1
+
+    # ---------------------------------------------------------------- interface
+
+    @abc.abstractmethod
+    def load_model(self) -> None:
+        """Load weights / build the jitted forward functions."""
+
+    @abc.abstractmethod
+    def loglikelihood(self, requests: list["TaskInstance"]) -> list[tuple[float, bool]]:
+        """Return (loss, is_greedy) per request; loss is the continuation NLL."""
+
+    @abc.abstractmethod
+    def generate_until(self, requests: list["TaskInstance"]) -> list[str]:
+        """Generate free-text responses for each request."""
+
+    def generate_until_multi_round(self, requests: list["TaskInstance"]) -> list[list[str]]:
+        """Multi-round conversation protocol; defaults to unsupported."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement generate_until_multi_round"
+        )

@@ -1,0 +1,142 @@
+"""Shared pure-functional transformer layers.
+
+Parameters are plain nested dicts of jax.Arrays; every function is
+``(params, inputs, ...) -> outputs`` so models compose under jit/pjit without a
+module framework. Weight layout convention: linear kernels are stored
+``[in_features, out_features]`` (transposed from HF torch checkpoints at load time)
+so the forward is a plain ``x @ w``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dense",
+    "embedding",
+    "gelu",
+    "layer_norm",
+    "rms_norm",
+    "mlp_gelu",
+    "mlp_swiglu",
+    "apply_rope",
+    "rope_frequencies",
+    "multi_head_attention",
+    "repeat_kv",
+]
+
+
+def dense(params: dict, x: jax.Array) -> jax.Array:
+    """x @ w (+ b). params: {"w": [in, out], optional "b": [out]}."""
+    out = jnp.einsum(
+        "...i,io->...o", x, params["w"], preferred_element_type=x.dtype
+    )
+    if "b" in params and params["b"] is not None:
+        out = out + params["b"]
+    return out
+
+
+def embedding(table: jax.Array, ids: jax.Array) -> jax.Array:
+    return jnp.take(table, ids, axis=0)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def layer_norm(params: dict, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Standard LayerNorm in f32, cast back to input dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * params["scale"] + params["bias"]).astype(x.dtype)
+
+
+def rms_norm(params: dict, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    """RMSNorm in f32 (LLaMA/Qwen family)."""
+    xf = x.astype(jnp.float32)
+    normed = xf * jax.lax.rsqrt(jnp.mean(jnp.square(xf), axis=-1, keepdims=True) + eps)
+    return (normed * params["scale"]).astype(x.dtype)
+
+
+def mlp_gelu(params: dict, x: jax.Array) -> jax.Array:
+    """BERT/ViT-style MLP: dense -> gelu -> dense."""
+    return dense(params["down"], gelu(dense(params["up"], x)))
+
+
+def mlp_swiglu(params: dict, x: jax.Array) -> jax.Array:
+    """LLaMA/Qwen-style gated MLP: (silu(x@gate) * x@up) @ down."""
+    return dense(
+        params["down"], jax.nn.silu(dense(params["gate"], x)) * dense(params["up"], x)
+    )
+
+
+def rope_frequencies(head_dim: int, max_len: int, theta: float = 10000.0) -> tuple[jax.Array, jax.Array]:
+    """Precompute RoPE cos/sin tables of shape [max_len, head_dim/2] (f32)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    freqs = jnp.outer(t, inv_freq)
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate [B, H, L, D] by position tables [B?, L, D/2] (HF half-split convention)."""
+    if cos.ndim == 2:
+        cos = cos[None, None, :, :]
+        sin = sin[None, None, :, :]
+    elif cos.ndim == 3:  # [B, L, D/2]
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+def repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    """Repeat KV heads for grouped-query attention: [B, Hkv, L, D] -> [B, Hkv*n, L, D]."""
+    if n_rep == 1:
+        return x
+    b, h, l, d = x.shape
+    return jnp.broadcast_to(x[:, :, None, :, :], (b, h, n_rep, l, d)).reshape(b, h * n_rep, l, d)
+
+
+def multi_head_attention(
+    params: dict,
+    x: jax.Array,
+    *,
+    num_heads: int,
+    num_kv_heads: int | None = None,
+    causal: bool = False,
+    kv_mask: jax.Array | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
+    qk_norm_eps: float | None = None,
+) -> jax.Array:
+    """Self-attention block (no residual/norm). params: q/k/v/o dense params."""
+    from lmms_owc_tpu.ops.attention import flash_attention
+
+    b, l, _ = x.shape
+    num_kv_heads = num_kv_heads or num_heads
+
+    q = dense(params["q"], x).reshape(b, l, num_heads, -1).transpose(0, 2, 1, 3)
+    k = dense(params["k"], x).reshape(b, l, num_kv_heads, -1).transpose(0, 2, 1, 3)
+    v = dense(params["v"], x).reshape(b, l, num_kv_heads, -1).transpose(0, 2, 1, 3)
+
+    if qk_norm_eps is not None:
+        q = rms_norm(params["q_norm"], q, eps=qk_norm_eps)
+        k = rms_norm(params["k_norm"], k, eps=qk_norm_eps)
+    if rope_cos is not None:
+        q = apply_rope(q, rope_cos, rope_sin)
+        k = apply_rope(k, rope_cos, rope_sin)
+
+    k = repeat_kv(k, num_heads // num_kv_heads)
+    v = repeat_kv(v, num_heads // num_kv_heads)
+
+    out = flash_attention(q, k, v, causal=causal, kv_mask=kv_mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, -1)
+    return dense(params["o"], out)

@@ -1,0 +1,182 @@
+"""Flash attention: Pallas TPU kernel with a jnp reference fallback.
+
+Replaces the reference's CUDA flash-attn/xformers dependency (pyproject.toml
+``nvidia`` extra, enabled via ``attn_implementation="flash_attention_2"`` at
+src/models/_qwen2_vl.py:100-101). Online-softmax tiling keeps the [Lq, Lk] score
+matrix out of HBM: per q-block, k/v are streamed through VMEM in blocks with a
+running (max, sum, accumulator) triple carried across k blocks.
+
+Layouts: q [B, H, Lq, D], k/v [B, H, Lk, D], optional kv_mask [B, Lk] (1 = valid).
+Sequence lengths must be padded to multiples of the block sizes (the nn layer pads
+to MXU-aligned buckets anyway). GQA/MQA is handled by the caller repeating k/v heads
+(XLA turns the broadcast into free addressing).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["flash_attention", "attention_reference"]
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+_NEG_INF = -1e30
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Plain jnp attention; the numerical ground truth for the Pallas kernel."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if causal:
+        lq, lk = q.shape[2], k.shape[2]
+        q_idx = jnp.arange(lq)[:, None] + (lk - lq)
+        k_idx = jnp.arange(lk)[None, :]
+        scores = jnp.where(k_idx <= q_idx, scores, _NEG_INF)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, :].astype(bool), scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, causal: bool, block_k: int, q_offset_blocks: bool
+):
+    """One (batch, head, q-block) program: stream k/v blocks with online softmax."""
+    block_q = q_ref.shape[2]
+    head_dim = q_ref.shape[3]
+    kv_len = k_ref.shape[2]
+    num_k_blocks = kv_len // block_k
+
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(2)
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+
+    q_abs = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+
+        if causal:
+            k_abs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            scores = jnp.where(k_abs <= q_abs + (kv_len - pl.num_programs(2) * block_q), scores, _NEG_INF)
+        if mask_ref is not None:
+            valid = mask_ref[0, pl.ds(kb * block_k, block_k)].astype(jnp.bool_)
+            scores = jnp.where(valid[None, :], scores, _NEG_INF)
+
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l_final, 1e-30)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "use_pallas")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    use_pallas: bool | None = None,
+) -> jax.Array:
+    """Multi-head attention. Pallas kernel on TPU; jnp reference elsewhere.
+
+    Args:
+        q: [B, H, Lq, D]; k, v: [B, H, Lk, D] (same H — repeat for GQA upstream).
+        causal: apply causal mask aligned to the sequence end (prefill).
+        kv_mask: [B, Lk] validity mask (1 = attend).
+        scale: score scale; defaults to 1/sqrt(D).
+        use_pallas: force the kernel on/off (None = auto by backend).
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    if not use_pallas or lq % block_q != 0 or lk % block_k != 0 or lq < block_q:
+        return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (b, h, lq // block_q)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if kv_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, lk), lambda bi, hi, qi: (bi, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(kv_mask.astype(jnp.int32))
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, causal=causal, block_k=block_k, q_offset_blocks=True
+        )
+    else:
+        kernel = functools.partial(
+            _maskless_kernel_adapter, scale=scale, causal=causal, block_k=block_k
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * lq * lk * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * lq * lk,
+        ),
+    )(*args)
+    return out
+
+
+def _maskless_kernel_adapter(q_ref, k_ref, v_ref, o_ref, **kwargs):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, q_offset_blocks=True, **kwargs)

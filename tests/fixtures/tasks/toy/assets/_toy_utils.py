@@ -1,0 +1,76 @@
+"""Asset utils for the toy classification task used by the test suite.
+
+Mirrors the structure of the reference's benchmark asset utils
+(e.g. /root/reference/src/data/tasks/_classification/caltech101/assets/
+_caltech101_utils.py: doc_to_text / doc_to_visual / doc_to_target / download),
+but generates a tiny deterministic dataset locally instead of fetching archives.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+CLASS_NAMES = ["red_panda", "blue_jay", "green_sea_turtle", "golden_retriever"]
+NUM_SAMPLES = 12
+
+_DATA_DIR = Path(__file__).resolve().parent / "data" / "toy"
+
+
+def data_dir() -> str:
+    return str(_DATA_DIR)
+
+
+def download() -> None:
+    """Generate the toy dataset on disk if missing (deterministic)."""
+    if (_DATA_DIR / "dataset_dict.json").exists():
+        return
+    import datasets
+    import numpy as np
+    from PIL import Image as PILImage
+
+    rng = np.random.RandomState(0)
+    images, labels = [], []
+    for i in range(NUM_SAMPLES):
+        color = tuple(int(c) for c in rng.randint(0, 255, size=3))
+        images.append(PILImage.new("RGB", (32, 32), color))
+        labels.append(CLASS_NAMES[i % len(CLASS_NAMES)])
+
+    ds = datasets.Dataset.from_dict({"image": images, "class_name": labels})
+    ds = ds.cast_column("image", datasets.Image())
+    dsd = datasets.DatasetDict({"test": ds})
+    os.makedirs(_DATA_DIR.parent, exist_ok=True)
+    dsd.save_to_disk(str(_DATA_DIR))
+
+
+def doc_to_text(doc: dict, model_specific_kwargs: dict | None = None) -> str:
+    kwargs = model_specific_kwargs or {}
+    pre = kwargs.get("pre_prompt", "")
+    prompt = kwargs.get("prompt", "What type of object is in this photo?")
+    post = kwargs.get("post_prompt", "")
+    return f"{pre}{prompt}{post}"
+
+
+def doc_to_text_multi_round(
+    doc: dict, model_specific_kwargs: dict | None = None, previous_output: dict | None = None
+):
+    """Staged multi-round prompting with a terminal signal, as in the llamav_o1 variants."""
+    kwargs = model_specific_kwargs or {}
+    prompts = kwargs.get(
+        "prompts",
+        ["Describe the photo.", "What type of object is in this photo?"],
+    )
+    if previous_output is None:
+        return prompts[0], False
+    round_idx = previous_output.get("round_idx", 1)
+    if round_idx >= len(prompts):
+        return "", True
+    return prompts[round_idx], False
+
+
+def doc_to_visual(doc: dict) -> list:
+    return [doc["image"].convert("RGB")]
+
+
+def doc_to_target(doc: dict, model_specific_kwargs: dict | None = None) -> str:
+    return doc["class_name"].replace("_", " ")
