@@ -1,0 +1,684 @@
+"""Qwen2-VL / Qwen2.5-VL in JAX — vision tower + M-RoPE decoder with KV-cache generation.
+
+TPU-first reimplementation of the model family the reference drives through HF torch
+(reference: src/models/_qwen2_vl.py). Design:
+  - Decoder layers are *stacked* along a leading axis and executed with ``lax.scan``,
+    so one compiled layer body serves all layers (fast compiles, uniform sharding).
+  - Prefill uses the Pallas flash-attention kernel (causal + padding mask); decode
+    attends to a preallocated KV cache under ``lax.while_loop`` with early exit when
+    every sequence has emitted EOS.
+  - Prompts are LEFT-padded to shape buckets so decode writes the cache at a uniform
+    position for the whole batch.
+  - M-RoPE (temporal/height/width rotary sections) follows the HF semantics
+    (transformers qwen2_vl.modeling: apply_multimodal_rotary_pos_emb) but is computed
+    in the half-dim convention used by :mod:`lmms_owc_tpu.nn.layers`.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmms_owc_tpu.nn.layers import (
+    apply_rope,
+    dense,
+    embedding,
+    gelu,
+    layer_norm,
+    mlp_swiglu,
+    repeat_kv,
+    rms_norm,
+)
+from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
+from lmms_owc_tpu.utils import get_logger
+
+log = get_logger(__name__)
+
+__all__ = [
+    "Qwen2VLConfig",
+    "Qwen2VLVisionConfig",
+    "convert_hf_weights",
+    "decode_step",
+    "greedy_generate",
+    "init_params",
+    "mrope_cos_sin",
+    "prefill",
+    "vision_encode",
+    "vision_rope_cos_sin",
+    "get_rope_index",
+]
+
+
+@dataclass(frozen=True)
+class Qwen2VLVisionConfig:
+    depth: int = 32
+    embed_dim: int = 1280
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    in_channels: int = 3
+    patch_size: int = 14
+    temporal_patch_size: int = 2
+    spatial_merge_size: int = 2
+    hidden_act: str = "quick_gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def patch_dim(self) -> int:
+        return self.in_channels * self.temporal_patch_size * self.patch_size**2
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.embed_dim * self.mlp_ratio)
+
+
+@dataclass(frozen=True)
+class Qwen2VLConfig:
+    vocab_size: int = 151936
+    hidden_size: int = 1536
+    num_layers: int = 28
+    num_heads: int = 12
+    num_kv_heads: int = 2
+    intermediate_size: int = 8960
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = True
+    mrope_section: tuple = (16, 24, 24)
+    image_token_id: int = 151655
+    video_token_id: int = 151656
+    vision_start_token_id: int = 151652
+    eos_token_id: int = 151645
+    pad_token_id: int = 151643
+    vision: Qwen2VLVisionConfig = field(default_factory=Qwen2VLVisionConfig)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf_dict(cls, cfg: dict) -> "Qwen2VLConfig":
+        """Build from an HF config.json dict (qwen2_vl / qwen2_5_vl)."""
+        text = cfg.get("text_config", cfg)
+        vis = cfg.get("vision_config", {})
+        vision = Qwen2VLVisionConfig(
+            depth=vis.get("depth", 32),
+            embed_dim=vis.get("embed_dim", vis.get("hidden_size", 1280)),
+            num_heads=vis.get("num_heads", 16),
+            mlp_ratio=vis.get("mlp_ratio", 4.0),
+            in_channels=vis.get("in_channels", vis.get("in_chans", 3)),
+            patch_size=vis.get("patch_size", 14),
+            temporal_patch_size=vis.get("temporal_patch_size", 2),
+            spatial_merge_size=vis.get("spatial_merge_size", 2),
+            hidden_act=vis.get("hidden_act", "quick_gelu"),
+        )
+        rope_scaling = text.get("rope_scaling") or {}
+        eos = text.get("eos_token_id", 151645)
+        return cls(
+            vocab_size=text["vocab_size"],
+            hidden_size=text["hidden_size"],
+            num_layers=text["num_hidden_layers"],
+            num_heads=text["num_attention_heads"],
+            num_kv_heads=text.get("num_key_value_heads", text["num_attention_heads"]),
+            intermediate_size=text["intermediate_size"],
+            rms_norm_eps=text.get("rms_norm_eps", 1e-6),
+            rope_theta=text.get("rope_theta", 1000000.0),
+            max_position_embeddings=text.get("max_position_embeddings", 32768),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", text.get("tie_word_embeddings", False)),
+            mrope_section=tuple(rope_scaling.get("mrope_section", (16, 24, 24))),
+            image_token_id=cfg.get("image_token_id", 151655),
+            video_token_id=cfg.get("video_token_id", 151656),
+            vision_start_token_id=cfg.get("vision_start_token_id", 151652),
+            eos_token_id=eos[0] if isinstance(eos, list) else eos,
+            pad_token_id=cfg.get("pad_token_id", 151643) or 151643,
+            vision=vision,
+        )
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_VISION_ACTS = {"quick_gelu": quick_gelu, "gelu": gelu, "silu": jax.nn.silu}
+
+
+# ======================================================================== init
+
+
+def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
+    """Random-init full parameter tree (decoder layers stacked on axis 0)."""
+    keys = jax.random.split(key, 16)
+    kit = iter(keys)
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    h, kvh, hd = config.hidden_size, config.num_kv_heads, config.head_dim
+    nh, inter, L = config.num_heads, config.intermediate_size, config.num_layers
+
+    def stack_linears(k, din, dout, bias):
+        out = {"w": w(k, (L, din, dout))}
+        if bias:
+            out["b"] = jnp.zeros((L, dout), dtype)
+        return out
+
+    lk = jax.random.split(next(kit), 8)
+    layers = {
+        "attn": {
+            "q": stack_linears(lk[0], h, nh * hd, bias=True),
+            "k": stack_linears(lk[1], h, kvh * hd, bias=True),
+            "v": stack_linears(lk[2], h, kvh * hd, bias=True),
+            "o": stack_linears(lk[3], nh * hd, h, bias=False),
+        },
+        "input_ln": {"scale": jnp.ones((L, h), dtype)},
+        "post_ln": {"scale": jnp.ones((L, h), dtype)},
+        "mlp": {
+            "gate": stack_linears(lk[4], h, inter, bias=False),
+            "up": stack_linears(lk[5], h, inter, bias=False),
+            "down": stack_linears(lk[6], inter, h, bias=False),
+        },
+    }
+
+    v = config.vision
+    vk = jax.random.split(next(kit), 8)
+    vision_layers = {
+        "norm1": {"scale": jnp.ones((v.depth, v.embed_dim), dtype), "bias": jnp.zeros((v.depth, v.embed_dim), dtype)},
+        "norm2": {"scale": jnp.ones((v.depth, v.embed_dim), dtype), "bias": jnp.zeros((v.depth, v.embed_dim), dtype)},
+        "qkv": {"w": w(vk[0], (v.depth, v.embed_dim, 3 * v.embed_dim)), "b": jnp.zeros((v.depth, 3 * v.embed_dim), dtype)},
+        "proj": {"w": w(vk[1], (v.depth, v.embed_dim, v.embed_dim)), "b": jnp.zeros((v.depth, v.embed_dim), dtype)},
+        "fc1": {"w": w(vk[2], (v.depth, v.embed_dim, v.mlp_hidden)), "b": jnp.zeros((v.depth, v.mlp_hidden), dtype)},
+        "fc2": {"w": w(vk[3], (v.depth, v.mlp_hidden, v.embed_dim)), "b": jnp.zeros((v.depth, v.embed_dim), dtype)},
+    }
+    merge_dim = v.embed_dim * v.spatial_merge_size**2
+    params = {
+        "embed_tokens": w(next(kit), (config.vocab_size, h)),
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones(h, dtype)},
+        "vision": {
+            "patch_embed": {"w": w(next(kit), (v.patch_dim, v.embed_dim))},
+            "layers": vision_layers,
+            "merger": {
+                "ln_q": {"scale": jnp.ones(v.embed_dim, dtype), "bias": jnp.zeros(v.embed_dim, dtype)},
+                "fc1": {"w": w(next(kit), (merge_dim, merge_dim)), "b": jnp.zeros(merge_dim, dtype)},
+                "fc2": {"w": w(next(kit), (merge_dim, h)), "b": jnp.zeros(h, dtype)},
+            },
+        },
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"w": w(next(kit), (h, config.vocab_size))}
+    return params
+
+
+# ================================================================== converter
+
+
+def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
+    """Map HF qwen2_vl safetensors names to the stacked-layer tree.
+
+    Handles both naming schemes: legacy ("model.", "visual.") and new
+    ("model.language_model.", "model.visual.").
+    """
+
+    def find(name: str):
+        for prefix in ("", "model.", "model.language_model.", "language_model."):
+            if prefix + name in state:
+                return state[prefix + name]
+        raise KeyError(f"tensor {name!r} not found (available sample: {list(state)[:5]})")
+
+    def t(name):  # transposed 2D
+        arr = find(name)
+        return jnp.asarray(arr.T if arr.ndim == 2 else arr, dtype)
+
+    def raw(name):
+        return jnp.asarray(find(name), dtype)
+
+    def stack_lin(fmt, L, bias):
+        out = {"w": jnp.stack([t(fmt.format(i) + ".weight") for i in range(L)])}
+        if bias:
+            out["b"] = jnp.stack([raw(fmt.format(i) + ".bias") for i in range(L)])
+        return out
+
+    def stack_norm(fmt, L, bias=False):
+        out = {"scale": jnp.stack([raw(fmt.format(i) + ".weight") for i in range(L)])}
+        if bias:
+            out["bias"] = jnp.stack([raw(fmt.format(i) + ".bias") for i in range(L)])
+        return out
+
+    L = config.num_layers
+    lp = "layers.{}"
+    layers = {
+        "attn": {
+            "q": stack_lin(lp + ".self_attn.q_proj", L, True),
+            "k": stack_lin(lp + ".self_attn.k_proj", L, True),
+            "v": stack_lin(lp + ".self_attn.v_proj", L, True),
+            "o": stack_lin(lp + ".self_attn.o_proj", L, False),
+        },
+        "input_ln": stack_norm(lp + ".input_layernorm", L),
+        "post_ln": stack_norm(lp + ".post_attention_layernorm", L),
+        "mlp": {
+            "gate": stack_lin(lp + ".mlp.gate_proj", L, False),
+            "up": stack_lin(lp + ".mlp.up_proj", L, False),
+            "down": stack_lin(lp + ".mlp.down_proj", L, False),
+        },
+    }
+
+    def vfind(name: str):
+        for prefix in ("visual.", "model.visual."):
+            if prefix + name in state:
+                return state[prefix + name]
+        raise KeyError(f"vision tensor {name!r} not found")
+
+    def vt(name):
+        arr = vfind(name)
+        return jnp.asarray(arr.T if arr.ndim == 2 else arr, dtype)
+
+    def vraw(name):
+        return jnp.asarray(vfind(name), dtype)
+
+    v = config.vision
+    D = v.depth
+
+    def vstack(fmt, key, transpose):
+        return jnp.stack(
+            [
+                jnp.asarray(
+                    np.asarray(vfind(fmt.format(i))).T if transpose else np.asarray(vfind(fmt.format(i))),
+                    dtype,
+                )
+                for i in range(D)
+            ]
+        )
+
+    vision_layers = {
+        "norm1": {
+            "scale": vstack("blocks.{}.norm1.weight", None, False),
+            "bias": vstack("blocks.{}.norm1.bias", None, False),
+        },
+        "norm2": {
+            "scale": vstack("blocks.{}.norm2.weight", None, False),
+            "bias": vstack("blocks.{}.norm2.bias", None, False),
+        },
+        "qkv": {
+            "w": vstack("blocks.{}.attn.qkv.weight", None, True),
+            "b": vstack("blocks.{}.attn.qkv.bias", None, False),
+        },
+        "proj": {
+            "w": vstack("blocks.{}.attn.proj.weight", None, True),
+            "b": vstack("blocks.{}.attn.proj.bias", None, False),
+        },
+        "fc1": {
+            "w": vstack("blocks.{}.mlp.fc1.weight", None, True),
+            "b": vstack("blocks.{}.mlp.fc1.bias", None, False),
+        },
+        "fc2": {
+            "w": vstack("blocks.{}.mlp.fc2.weight", None, True),
+            "b": vstack("blocks.{}.mlp.fc2.bias", None, False),
+        },
+    }
+
+    # Conv3d patch kernel [embed, 3, t, p, p] -> flat [patch_dim, embed].
+    patch_w = np.asarray(vfind("patch_embed.proj.weight"))
+    patch_w = patch_w.reshape(v.embed_dim, -1).T
+
+    params = {
+        "embed_tokens": raw("embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": {"scale": raw("norm.weight")},
+        "vision": {
+            "patch_embed": {"w": jnp.asarray(patch_w, dtype)},
+            "layers": vision_layers,
+            "merger": {
+                "ln_q": {"scale": vraw("merger.ln_q.weight"), "bias": vraw("merger.ln_q.bias")},
+                "fc1": {"w": vt("merger.mlp.0.weight"), "b": vraw("merger.mlp.0.bias")},
+                "fc2": {"w": vt("merger.mlp.2.weight"), "b": vraw("merger.mlp.2.bias")},
+            },
+        },
+    }
+    if not config.tie_word_embeddings:
+        if "lm_head.weight" in state:
+            params["lm_head"] = {"w": jnp.asarray(np.asarray(state["lm_head.weight"]).T, dtype)}
+        else:
+            params["lm_head"] = {"w": raw("lm_head.weight")}
+    return params
+
+
+# ==================================================================== vision
+
+
+def vision_rope_cos_sin(grid_thw: list[tuple[int, int, int]], config: Qwen2VLVisionConfig) -> np.ndarray:
+    """Host-side 2D rotary table per packed patch, shape [num_patches, head_dim/2] (f32).
+
+    Follows HF rot_pos_emb (modeling_qwen2_vl: Qwen2VisionTransformer.rot_pos_emb):
+    h/w position ids are permuted into spatial-merge-window order before lookup.
+    """
+    merge = config.spatial_merge_size
+    dim = config.head_dim // 2  # rotary dim (half for h, half for w)
+    inv_freq = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+
+    pos_list = []
+    for t, h, w in grid_thw:
+        hpos = np.arange(h)[:, None].repeat(w, axis=1)
+        hpos = hpos.reshape(h // merge, merge, w // merge, merge).transpose(0, 2, 1, 3).reshape(-1)
+        wpos = np.arange(w)[None, :].repeat(h, axis=0)
+        wpos = wpos.reshape(h // merge, merge, w // merge, merge).transpose(0, 2, 1, 3).reshape(-1)
+        pos = np.stack([hpos, wpos], axis=-1)
+        pos_list.append(np.tile(pos, (t, 1)))
+    pos = np.concatenate(pos_list, axis=0)  # [P, 2]
+
+    freqs_h = pos[:, 0:1].astype(np.float32) * inv_freq[None, :]
+    freqs_w = pos[:, 1:2].astype(np.float32) * inv_freq[None, :]
+    return np.concatenate([freqs_h, freqs_w], axis=-1)  # [P, head_dim/2]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def vision_encode(
+    params: dict,
+    patches: jax.Array,
+    rope_freqs: jax.Array,
+    patch_mask: jax.Array,
+    config: Qwen2VLVisionConfig,
+) -> jax.Array:
+    """Vision tower over one image's packed (padded) patches.
+
+    Args:
+        patches: [P, patch_dim] flattened conv patches (P padded to a bucket).
+        rope_freqs: [P, head_dim/2] from :func:`vision_rope_cos_sin` (zero at padding).
+        patch_mask: [P] 1 = real patch.
+    Returns: [P/merge^2, hidden_size] merged vision embeddings (padding rows garbage).
+    """
+    act = _VISION_ACTS[config.hidden_act]
+    x = jnp.dot(patches, params["patch_embed"]["w"], preferred_element_type=patches.dtype)
+
+    cos = jnp.cos(rope_freqs)[None, None, :, :]  # [1, 1, P, hd/2]
+    sin = jnp.sin(rope_freqs)[None, None, :, :]
+    P = x.shape[0]
+    nh, hd = config.num_heads, config.head_dim
+
+    def block(x, layer):
+        normed = layer_norm(layer["norm1"], x, eps=1e-6)
+        qkv = dense(layer["qkv"], normed).reshape(P, 3, nh, hd)
+        q = qkv[:, 0].transpose(1, 0, 2)[None]  # [1, nh, P, hd]
+        k = qkv[:, 1].transpose(1, 0, 2)[None]
+        v = qkv[:, 2].transpose(1, 0, 2)[None]
+        q = apply_rope(q, cos[0], sin[0])
+        k = apply_rope(k, cos[0], sin[0])
+        attn = flash_attention(q, k, v, kv_mask=patch_mask[None, :])
+        attn = attn[0].transpose(1, 0, 2).reshape(P, nh * hd)
+        x = x + dense(layer["proj"], attn)
+        normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
+        x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, params["layers"])
+
+    # Patch merger: LN then merge spatial_merge_size^2 neighbors -> MLP.
+    merged_dim = config.embed_dim * config.spatial_merge_size**2
+    x = layer_norm(params["merger"]["ln_q"], x, eps=1e-6).reshape(-1, merged_dim)
+    x = dense(params["merger"]["fc2"], gelu(dense(params["merger"]["fc1"], x)))
+    return x
+
+
+# =============================================================== M-RoPE utils
+
+
+def get_rope_index(
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    image_grid_thw: list[tuple[int, int, int]],
+    config: Qwen2VLConfig,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side 3D (t/h/w) position ids, shape [3, B, L]; plus per-seq next position.
+
+    Semantics match HF Qwen2VLModel.get_rope_index: text tokens advance all three
+    dims together; each image block advances t by timestep and h/w by grid position,
+    then text resumes at max+1.
+    """
+    bsz, seqlen = input_ids.shape
+    position_ids = np.ones((3, bsz, seqlen), dtype=np.int64)
+    next_pos = np.zeros(bsz, dtype=np.int64)
+    merge = config.vision.spatial_merge_size
+    image_index = 0
+
+    for i in range(bsz):
+        mask = attention_mask[i] == 1
+        ids = input_ids[i][mask]
+        tokens = ids.tolist()
+        pos_chunks = []
+        st = 0
+        num_images = int(np.sum(ids == config.image_token_id) > 0) and tokens.count(config.image_token_id)
+        # Count image placeholders (one run of image_token_id per image).
+        remain = []
+        idx = 0
+        vision_starts = np.where(ids == config.vision_start_token_id)[0]
+        n_imgs = int(np.sum(ids[vision_starts + 1] == config.image_token_id)) if len(vision_starts) else 0
+
+        for _ in range(n_imgs):
+            ed = tokens.index(config.image_token_id, st)
+            t, h, w = image_grid_thw[image_index]
+            image_index += 1
+            gt, gh, gw = t, h // merge, w // merge
+            text_len = ed - st
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            pos_chunks.append(np.tile(np.arange(text_len), (3, 1)) + st_idx)
+            t_idx = np.repeat(np.arange(gt), gh * gw)
+            h_idx = np.tile(np.repeat(np.arange(gh), gw), gt)
+            w_idx = np.tile(np.arange(gw), gt * gh)
+            pos_chunks.append(np.stack([t_idx, h_idx, w_idx]) + text_len + st_idx)
+            st = ed + gt * gh * gw
+
+        if st < len(tokens):
+            st_idx = pos_chunks[-1].max() + 1 if pos_chunks else 0
+            pos_chunks.append(np.tile(np.arange(len(tokens) - st), (3, 1)) + st_idx)
+
+        positions = np.concatenate(pos_chunks, axis=1)
+        position_ids[:, i, mask] = positions
+        next_pos[i] = positions.max() + 1
+    return position_ids, next_pos
+
+
+def mrope_cos_sin(
+    position_ids: jax.Array, config: Qwen2VLConfig
+) -> tuple[jax.Array, jax.Array]:
+    """Combine t/h/w rotary tables into [B, L, head_dim/2] cos/sin (f32)."""
+    hd2 = config.head_dim // 2
+    inv_freq = 1.0 / (config.rope_theta ** (jnp.arange(0, hd2, dtype=jnp.float32) / hd2))
+    # freqs: [3, B, L, hd/2]
+    freqs = position_ids[..., None].astype(jnp.float32) * inv_freq[None, None, None, :]
+    sections = np.cumsum(np.array(config.mrope_section))[:-1]
+    chunks = jnp.split(freqs, sections.tolist(), axis=-1)
+    combined = jnp.concatenate([chunk[i % 3] for i, chunk in enumerate(chunks)], axis=-1)
+    return jnp.cos(combined), jnp.sin(combined)
+
+
+# ===================================================================== decoder
+
+
+def _attention_block(layer, x, cos, sin, config, kv_mask, causal, cache=None, cache_pos=None):
+    """Shared attention math for prefill (flash) and decode (cache GEMV)."""
+    b, l, _ = x.shape
+    nh, kvh, hd = config.num_heads, config.num_kv_heads, config.head_dim
+
+    q = dense(layer["attn"]["q"], x).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+    k = dense(layer["attn"]["k"], x).reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
+    v = dense(layer["attn"]["v"], x).reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache is None:
+        out = flash_attention(
+            q, repeat_kv(k, nh // kvh), repeat_kv(v, nh // kvh), causal=causal, kv_mask=kv_mask
+        )
+        new_kv = (k, v)
+    else:
+        cache_k, cache_v = cache
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, cache_pos, axis=2)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, cache_pos, axis=2)
+        out = attention_reference(
+            q, repeat_kv(cache_k, nh // kvh), repeat_kv(cache_v, nh // kvh), kv_mask=kv_mask
+        )
+        new_kv = (cache_k, cache_v)
+
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
+    return dense(layer["attn"]["o"], out), new_kv
+
+
+def _layer_params_at(layers: dict, leaf_selector) -> dict:
+    return jax.tree_util.tree_map(leaf_selector, layers)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "cache_len"))
+def prefill(
+    params: dict,
+    input_embeds: jax.Array,
+    position_ids: jax.Array,
+    attention_mask: jax.Array,
+    config: Qwen2VLConfig,
+    cache_len: int,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """Full forward over the (left-padded) prompt; returns last logits + KV cache.
+
+    Args:
+        input_embeds: [B, L, H] (text embeddings with vision embeds scattered in).
+        position_ids: [3, B, L] M-RoPE positions.
+        attention_mask: [B, L] 1 = real token.
+        cache_len: total cache capacity (>= L + max_new_tokens).
+    Returns: (logits [B, vocab] at the last position, (cache_k, cache_v)
+        each [num_layers, B, Hkv, cache_len, D]).
+    """
+    b, l, _ = input_embeds.shape
+    cos, sin = mrope_cos_sin(position_ids, config)  # [B, L, hd/2]
+
+    def layer_fn(x, layer):
+        attn_out, (k, v) = _attention_block(
+            layer, rms_norm(layer["input_ln"], x, config.rms_norm_eps), cos, sin, config,
+            kv_mask=attention_mask, causal=True,
+        )
+        x = x + attn_out
+        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(layer_fn, input_embeds, params["layers"])
+    x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
+
+    last = x[:, -1, :]  # left-padded: last position is the newest token
+    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
+    logits = jnp.dot(last.astype(jnp.float32), head_w.astype(jnp.float32))
+
+    pad = cache_len - l
+    cache_k = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cache_v = jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    return logits, (cache_k, cache_v)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def decode_step(
+    params: dict,
+    token_ids: jax.Array,
+    position_ids: jax.Array,
+    cache: tuple[jax.Array, jax.Array],
+    cache_pos: jax.Array,
+    kv_mask: jax.Array,
+    config: Qwen2VLConfig,
+) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
+    """One decode step: token_ids [B], position_ids [3, B, 1] -> logits [B, vocab]."""
+    x = embedding(params["embed_tokens"], token_ids)[:, None, :]
+    cos, sin = mrope_cos_sin(position_ids, config)
+
+    cache_k, cache_v = cache
+
+    def layer_fn(x, layer_and_cache):
+        layer, ck, cv = layer_and_cache
+        attn_out, (ck, cv) = _attention_block(
+            layer, rms_norm(layer["input_ln"], x, config.rms_norm_eps), cos, sin, config,
+            kv_mask=kv_mask, causal=False, cache=(ck, cv), cache_pos=cache_pos,
+        )
+        x = x + attn_out
+        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = jax.lax.scan(layer_fn, x, (params["layers"], cache_k, cache_v))
+    x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
+    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
+    logits = jnp.dot(x[:, 0].astype(jnp.float32), head_w.astype(jnp.float32))
+    return logits, (cache_k, cache_v)
+
+
+def _sample_token(logits, key, temperature, top_p, do_sample):
+    greedy = jnp.argmax(logits, axis=-1)
+    if not do_sample:
+        return greedy
+
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    cumprobs = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    cutoff_idx = jnp.sum(cumprobs < top_p, axis=-1)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    filtered = jnp.where(scaled >= cutoff, scaled, -jnp.inf)
+    return jax.random.categorical(key, filtered, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "max_new_tokens", "do_sample", "cache_len")
+)
+def greedy_generate(
+    params: dict,
+    input_embeds: jax.Array,
+    position_ids: jax.Array,
+    attention_mask: jax.Array,
+    next_positions: jax.Array,
+    config: Qwen2VLConfig,
+    max_new_tokens: int,
+    cache_len: int,
+    eos_ids: jax.Array,
+    rng_key: jax.Array | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Prefill + decode-until-EOS. Returns generated tokens [B, max_new_tokens]
+    (positions after a sequence's EOS are padded with pad_token_id).
+
+    Args:
+        next_positions: [B] first M-RoPE position for generated text per sequence.
+        eos_ids: [num_eos] token ids that terminate a sequence.
+    """
+    b, l, _ = input_embeds.shape
+    logits, cache = prefill(params, input_embeds, position_ids, attention_mask, config, cache_len)
+
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    kv_mask0 = jnp.pad(attention_mask, ((0, 0), (0, cache_len - l)))
+
+    def cond(state):
+        step, _, _, _, _, done, _ = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        step, logits, cache, kv_mask, key, done, tokens = state
+        key, subkey = jax.random.split(key)
+        next_token = _sample_token(logits, subkey, temperature, top_p, do_sample)
+        next_token = jnp.where(done, config.pad_token_id, next_token)
+        tokens = tokens.at[:, step].set(next_token)
+        done = done | jnp.any(next_token[:, None] == eos_ids[None, :], axis=-1)
+
+        pos = jnp.broadcast_to(
+            (next_positions + step)[None, :, None].astype(jnp.int32), (3, b, 1)
+        )
+        kv_mask = kv_mask.at[:, l + step].set(1)
+        logits, cache = decode_step(
+            params, next_token, pos, cache, jnp.array(l + step, jnp.int32), kv_mask, config
+        )
+        return step + 1, logits, cache, kv_mask, key, done, tokens
+
+    tokens0 = jnp.full((b, max_new_tokens), config.pad_token_id, jnp.int32)
+    done0 = jnp.zeros((b,), jnp.bool_)
+    state = (jnp.array(0, jnp.int32), logits, cache, kv_mask0, rng_key, done0, tokens0)
+    *_, tokens = jax.lax.while_loop(cond, body, state)
+    return tokens

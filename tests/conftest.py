@@ -8,6 +8,8 @@ import sys
 from pathlib import Path
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA-CPU's oneDNN matmuls are low-precision by default; parity tests need exact f32.
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
