@@ -1,0 +1,98 @@
+"""End-to-end throughput benchmark: Qwen2-VL open-world classification on TPU.
+
+Measures images/sec/chip through the REAL serving path — host PIL decode + smart
+resize, fused normalize/patchify, vision tower, batched prefill, KV-cache greedy
+decode (64 new tokens), detokenize — on synthetic images at the reference's default
+vision budget. Weights are random-init (no checkpoints in this environment); the
+compute is identical to a real checkpoint.
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md). Its hard
+bound is ``batch_size=1`` per GPU (reference src/models/_base.py:103-104); public
+Qwen2-VL-2B batch-1 A100 measurements sit near ~1 image/sec at 64 new tokens, which
+we use as the 1.0 reference point for ``vs_baseline``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_IMAGES_PER_SEC = 1.0  # reference-style batch-1 A100 estimate (see docstring)
+
+
+def main() -> None:
+    os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
+    import numpy as np
+    from PIL import Image
+
+    from lmms_owc_tpu.models import get_model
+
+    preset = os.environ.get("BENCH_PRESET", "qwen2-vl-2b")
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    num_images = int(os.environ.get("BENCH_IMAGES", "64"))
+    max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
+    image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
+
+    model = get_model(
+        preset if preset in ("qwen2-vl-2b", "qwen2-vl-7b", "qwen2-vl-tiny") else "qwen2-vl-2b",
+        batch_size=batch_size,
+        random_init=True,
+        dtype="bfloat16",
+    )
+
+    rng = np.random.RandomState(0)
+    docs = [
+        {"image": Image.fromarray(rng.randint(0, 255, (image_hw, image_hw, 3), dtype=np.uint8))}
+        for _ in range(num_images)
+    ]
+
+    class _BenchTask:
+        dataset = {"test": docs}
+
+    model.task_dict["bench"] = _BenchTask()
+
+    def doc_to_visual(doc):
+        return [doc["image"]]
+
+    gen_kwargs = {"max_new_tokens": max_new_tokens, "do_sample": False, "until": None}
+
+    class _Req:
+        def __init__(self, doc_id):
+            self.args = (
+                "What type of object is in this photo?",
+                gen_kwargs,
+                doc_to_visual,
+                doc_id,
+                "bench",
+                "test",
+            )
+
+    # Warmup: compile vision + prefill + decode programs on a small batch.
+    warm = [_Req(i) for i in range(min(batch_size, num_images))]
+    model.generate_until(warm)
+
+    requests = [_Req(i) for i in range(num_images)]
+    t0 = time.perf_counter()
+    outputs = model.generate_until(requests)
+    elapsed = time.perf_counter() - t0
+
+    assert len(outputs) == num_images
+    images_per_sec = num_images / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"images_per_sec_per_chip_{preset.replace('-', '_')}_owc_eval",
+                "value": round(images_per_sec, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,461 @@
+"""Qwen2-VL model adapter: engine requests -> batched TPU generation.
+
+Functional parity with reference src/models/_qwen2_vl.py (generate_until flow at
+:181-337, multi-round at :350-616, registered IDs at :619-648), re-architected:
+
+  - The reference runs ``batch_size=1`` HF ``model.generate`` per sample. Here
+    requests are grouped by generation kwargs, sorted by prompt length (Collator,
+    same insight as the reference's sort-by-length), packed into macro batches,
+    LEFT-padded to length buckets, and decoded together under one jitted
+    prefill+while-loop program per (batch, length) bucket.
+  - Image preprocessing: host PIL decode + bicubic resize (HF-exact), then fused
+    rescale/normalize/patchify on device (lmms_owc_tpu.ops.image).
+  - Weights load from safetensors into a stacked-layer pytree, optionally sharded
+    over a ("data", "model") mesh (lmms_owc_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+
+from lmms_owc_tpu.models._api import register_model
+from lmms_owc_tpu.models._base import Model
+from lmms_owc_tpu.utils import Collator, get_logger, pad_to_bucket
+
+log = get_logger(__name__)
+
+__all__ = ["Qwen2VL"]
+
+DEFAULT_MAX_PIXELS = 1024 * 28 * 28
+DEFAULT_MIN_PIXELS = 4 * 28 * 28
+DEFAULT_MAX_NEW_TOKENS = 128
+
+# Architecture presets so random-init benchmarking works without a checkpoint.
+PRESET_CONFIGS = {
+    "qwen2-vl-2b": dict(
+        vocab_size=151936, hidden_size=1536, num_hidden_layers=28, num_attention_heads=12,
+        num_key_value_heads=2, intermediate_size=8960, tie_word_embeddings=True,
+    ),
+    "qwen2-vl-7b": dict(
+        vocab_size=152064, hidden_size=3584, num_hidden_layers=28, num_attention_heads=28,
+        num_key_value_heads=4, intermediate_size=18944, tie_word_embeddings=False,
+    ),
+    # CPU-testable miniature (same special-token space, tiny everything else).
+    "qwen2-vl-tiny": dict(
+        vocab_size=152064, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, tie_word_embeddings=True,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_config=dict(depth=2, embed_dim=32, num_heads=4, mlp_ratio=2.0, hidden_size=64),
+    ),
+}
+
+_IM_START = "<|im_start|>"
+_IM_END = "<|im_end|>"
+_VISION_START = "<|vision_start|>"
+_VISION_END = "<|vision_end|>"
+_IMAGE_PAD = "<|image_pad|>"
+
+# Qwen2-VL special token ids (tokenizer_config.json of the released checkpoints).
+SPECIAL_IDS = {
+    "<|endoftext|>": 151643,
+    _IM_START: 151644,
+    _IM_END: 151645,
+    _VISION_START: 151652,
+    _VISION_END: 151653,
+    _IMAGE_PAD: 151655,
+    "<|video_pad|>": 151656,
+}
+
+PATCH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+class _FallbackTokenizer:
+    """Deterministic hash tokenizer for random-init benchmarking (no checkpoint).
+
+    Handles the Qwen special tokens exactly; plain text maps to stable pseudo ids.
+    """
+
+    eos_token_id = SPECIAL_IDS[_IM_END]
+    pad_token_id = SPECIAL_IDS["<|endoftext|>"]
+
+    def encode(self, text: str) -> list[int]:
+        import re
+
+        ids: list[int] = []
+        pattern = "|".join(re.escape(s) for s in SPECIAL_IDS)
+        pos = 0
+        for match in re.finditer(pattern, text):
+            ids.extend(self._encode_plain(text[pos : match.start()]))
+            ids.append(SPECIAL_IDS[match.group()])
+            pos = match.end()
+        ids.extend(self._encode_plain(text[pos:]))
+        return ids
+
+    @staticmethod
+    def _encode_plain(text: str) -> list[int]:
+        return [
+            1000 + int.from_bytes(hashlib.md5(w.encode()).digest()[:3], "little") % 150000
+            for w in text.split()
+        ]
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        inv = {v: k for k, v in SPECIAL_IDS.items()}
+        words = []
+        for i in ids:
+            i = int(i)
+            if i in inv:
+                if not skip_special_tokens:
+                    words.append(inv[i])
+            else:
+                words.append(f"tok{i}")
+        return " ".join(words)
+
+
+class Qwen2VL(Model):
+    """Qwen2-VL on the JAX/TPU stack."""
+
+    def __init__(
+        self,
+        pretrained: str | None = None,
+        preset: str = "qwen2-vl-2b",
+        max_pixels: int = DEFAULT_MAX_PIXELS,
+        min_pixels: int = DEFAULT_MIN_PIXELS,
+        model_parallel: int = 1,
+        use_mesh: bool = False,
+        random_init: bool = False,
+        system_prompt: str = "You are a helpful assistant.",
+        device_resize: bool = False,
+        jax_random_seed: int = 1234,
+        **kwargs,
+    ) -> None:
+        self.pretrained = pretrained
+        self.preset = preset
+        self.max_pixels = int(max_pixels)
+        self.min_pixels = int(min_pixels)
+        self.model_parallel = int(model_parallel)
+        self.use_mesh = use_mesh or self.model_parallel > 1
+        self.random_init = random_init or pretrained is None
+        self.system_prompt = system_prompt
+        self.device_resize = device_resize
+        self.jax_random_seed = jax_random_seed
+        super().__init__(model_id=preset, **kwargs)
+
+    # ------------------------------------------------------------------- load
+
+    def load_model(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.nn.loader import load_config_json, load_safetensors_state
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+            self.dtype
+        ]
+
+        if self.pretrained is not None and Path(self.pretrained).exists():
+            hf_cfg = load_config_json(self.pretrained)
+            self.config = qvl.Qwen2VLConfig.from_hf_dict(hf_cfg)
+            state = load_safetensors_state(self.pretrained)
+            self.params = qvl.convert_hf_weights(state, self.config, dtype)
+            del state
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.pretrained)
+            log.info("loaded %s from %s", self.preset, self.pretrained)
+        else:
+            if not self.random_init:
+                raise FileNotFoundError(f"checkpoint not found: {self.pretrained}")
+            preset = PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["qwen2-vl-2b"])
+            self.config = qvl.Qwen2VLConfig.from_hf_dict(dict(preset))
+            self.params = qvl.init_params(
+                jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+            )
+            self.tokenizer = _FallbackTokenizer()
+            log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
+
+        self.mesh = None
+        if self.use_mesh:
+            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+            from lmms_owc_tpu.parallel.sharding import shard_params
+
+            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
+            self.params = shard_params(self.params, self.mesh)
+
+        self._rng = jax.random.PRNGKey(self.jax_random_seed)
+        self.batch_sizes = {}
+
+    @property
+    def eos_token_ids(self) -> list[int]:
+        ids = {SPECIAL_IDS[_IM_END], SPECIAL_IDS["<|endoftext|>"]}
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is not None:
+            ids.add(int(eos))
+        return sorted(ids)
+
+    # -------------------------------------------------------------- prompting
+
+    def _build_prompt(self, context: str, num_images: int) -> str:
+        """Chat-formatted prompt with one vision block per image.
+
+        Matches the rendered Qwen2-VL chat template the reference obtains through
+        ``processor.apply_chat_template(..., add_generation_prompt=True)``
+        (reference: src/models/_qwen2_vl.py:237-276).
+        """
+        vision = f"{_VISION_START}{_IMAGE_PAD}{_VISION_END}" * num_images
+        return (
+            f"{_IM_START}system\n{self.system_prompt}{_IM_END}\n"
+            f"{_IM_START}user\n{vision}{context}{_IM_END}\n"
+            f"{_IM_START}assistant\n"
+        )
+
+    def apply_chat_template(self, messages: list[dict]) -> str:
+        parts = []
+        for msg in messages:
+            parts.append(f"{_IM_START}{msg['role']}\n{msg['content']}{_IM_END}\n")
+        parts.append(f"{_IM_START}assistant\n")
+        return "".join(parts)
+
+    @property
+    def chat_template(self) -> str:
+        return "qwen2-vl"
+
+    @property
+    def tokenizer_name(self) -> str:
+        return f"qwen2_vl_{self.preset}"
+
+    def _encode_images(self, visuals: list) -> tuple[list[np.ndarray], list[tuple[int, int, int]]]:
+        """Vision tower over each image, padded to patch-count buckets."""
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.ops.image import preprocess_image
+
+        embeds, grids = [], []
+        for image in visuals:
+            patches, grid = preprocess_image(
+                image,
+                min_pixels=self.min_pixels,
+                max_pixels=self.max_pixels,
+                patch_size=self.config.vision.patch_size,
+                temporal_patch_size=self.config.vision.temporal_patch_size,
+                merge_size=self.config.vision.spatial_merge_size,
+                device_resize=self.device_resize,
+                out_dtype=self.params["vision"]["patch_embed"]["w"].dtype,
+            )
+            num_patches = patches.shape[0]
+            bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
+            rope_freqs = qvl.vision_rope_cos_sin([grid], self.config.vision)
+            patches_padded = np.zeros((bucket, patches.shape[1]), patches.dtype)
+            patches_padded[:num_patches] = patches
+            freqs_padded = np.zeros((bucket, rope_freqs.shape[1]), np.float32)
+            freqs_padded[:num_patches] = rope_freqs
+            mask = np.zeros(bucket, np.int32)
+            mask[:num_patches] = 1
+
+            out = qvl.vision_encode(
+                self.params["vision"],
+                jnp.asarray(patches_padded),
+                jnp.asarray(freqs_padded),
+                jnp.asarray(mask),
+                self.config.vision,
+            )
+            merge_sq = self.config.vision.spatial_merge_size ** 2
+            embeds.append(np.asarray(out[: num_patches // merge_sq]))
+            grids.append(grid)
+        return embeds, grids
+
+    # ------------------------------------------------------------- generation
+
+    def _tokenize_with_images(
+        self, prompt: str, image_token_counts: list[int]
+    ) -> list[int]:
+        """Tokenize, expanding each single <|image_pad|> to its merged token count."""
+        ids = self.tokenizer.encode(prompt)
+        image_pad = SPECIAL_IDS[_IMAGE_PAD]
+        out: list[int] = []
+        img_idx = 0
+        for tok in ids:
+            if tok == image_pad:
+                out.extend([image_pad] * image_token_counts[img_idx])
+                img_idx += 1
+            else:
+                out.append(tok)
+        return out
+
+    def _run_batch(self, batch: list[tuple], gen_kwargs: dict) -> list[str]:
+        """Generate for one macro batch of (token_ids, vision_embeds, grids)."""
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+        max_new_tokens = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
+        do_sample = bool(gen_kwargs.get("do_sample", False))
+        temperature = float(gen_kwargs.get("temperature") or 1.0)
+        top_p = float(gen_kwargs.get("top_p") or 1.0)
+
+        bsz = len(batch)
+        max_len = max(len(ids) for ids, _, _ in batch)
+        bucket_len = pad_to_bucket(max_len)
+        pad_id = self.config.pad_token_id
+
+        input_ids = np.full((bsz, bucket_len), pad_id, np.int64)
+        attention_mask = np.zeros((bsz, bucket_len), np.int64)
+        for row, (ids, _, _) in enumerate(batch):
+            input_ids[row, bucket_len - len(ids) :] = ids  # left padding
+            attention_mask[row, bucket_len - len(ids) :] = 1
+
+        all_grids = [g for _, _, grids in batch for g in grids]
+        position_ids, next_pos = qvl.get_rope_index(
+            input_ids, attention_mask, all_grids, self.config
+        )
+
+        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(input_ids), axis=0)
+        for row, (ids, vision_embeds, _) in enumerate(batch):
+            if not vision_embeds:
+                continue
+            row_positions = np.where(input_ids[row] == self.config.image_token_id)[0]
+            stacked = jnp.concatenate([jnp.asarray(e) for e in vision_embeds], axis=0)
+            embeds = embeds.at[row, jnp.asarray(row_positions)].set(
+                stacked.astype(embeds.dtype)
+            )
+
+        cache_len = bucket_len + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
+        self._rng, subkey = jax.random.split(self._rng)
+        tokens = qvl.greedy_generate(
+            self.params,
+            embeds,
+            jnp.asarray(position_ids),
+            jnp.asarray(attention_mask.astype(np.int32)),
+            jnp.asarray(next_pos.astype(np.int32)),
+            self.config,
+            max_new_tokens=max_new_tokens,
+            cache_len=cache_len,
+            eos_ids=jnp.asarray(self.eos_token_ids, jnp.int32),
+            rng_key=subkey,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        tokens = np.asarray(tokens)
+
+        texts = []
+        eos_set = set(self.eos_token_ids) | {pad_id}
+        for row in range(bsz):
+            ids = []
+            for tok in tokens[row]:
+                if int(tok) in eos_set:
+                    break
+                ids.append(int(tok))
+            texts.append(self.tokenizer.decode(ids, skip_special_tokens=True))
+        return texts
+
+    @staticmethod
+    def _trim_until(text: str, until: list[str] | None) -> str:
+        if until:
+            for stop in until:
+                if stop and stop in text:
+                    text = text.split(stop)[0]
+        return text
+
+    def _prepare_request(self, args: tuple) -> tuple[list[int], list, list]:
+        """(ctx, gen_kwargs, doc_to_visual, doc_id, task, split) -> packed inputs."""
+        ctx, _gen_kwargs, doc_to_visual, doc_id, task_name, split = args
+        task = self.task_dict.get(task_name)
+        if isinstance(task, tuple):
+            task = task[1]
+        visuals = []
+        if task is not None and doc_to_visual is not None:
+            doc = task.dataset[split][doc_id]
+            visuals = doc_to_visual(doc) or []
+        vision_embeds, grids = self._encode_images(visuals)
+        merge_sq = self.config.vision.spatial_merge_size ** 2
+        token_counts = [(g[0] * g[1] * g[2]) // merge_sq for g in grids]
+        prompt = self._build_prompt(ctx, len(visuals))
+        ids = self._tokenize_with_images(prompt, token_counts)
+        return ids, vision_embeds, grids
+
+    def generate_until(self, requests) -> list[str]:
+        collator = Collator(
+            [req.args for req in requests],
+            sort_fn=lambda args: -len(args[0]),
+            group_fn=lambda args: repr(args[1]),
+            group_by="gen_kwargs",
+        )
+        results: list[str] = []
+        for chunk in collator.get_batched(n=self.batch_size):
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            batch = [self._prepare_request(args) for args in chunk]
+            texts = self._run_batch(batch, gen_kwargs)
+            results.extend(self._trim_until(t, until).strip() for t in texts)
+        return collator.get_original(results)
+
+    def generate_until_multi_round(self, requests) -> list[list[str]]:
+        """Staged conversation: re-prompt with each round's output until the task
+        signals termination (reference: src/models/_qwen2_vl.py:350-616)."""
+        results: list[list[str]] = []
+        for req in requests:
+            ctx, gen_kwargs, doc_to_visual, doc_to_text, doc_id, task_name, split = req.args
+            task = self.task_dict.get(task_name)
+            if isinstance(task, tuple):
+                task = task[1]
+            doc = task.dataset[split][doc_id]
+            until = (gen_kwargs or {}).get("until") or []
+
+            rounds: list[str] = []
+            prompt_ctx = ctx
+            previous = None
+            for round_idx in range(16):
+                ids, vision_embeds, grids = self._prepare_request(
+                    (prompt_ctx, gen_kwargs, doc_to_visual, doc_id, task_name, split)
+                )
+                text = self._run_batch([(ids, vision_embeds, grids)], dict(gen_kwargs or {}))[0]
+                text = self._trim_until(text, until).strip()
+                rounds.append(text)
+                previous = {
+                    "prompt": prompt_ctx,
+                    "response": text,
+                    "round_idx": round_idx + 1,
+                }
+                try:
+                    prompt_ctx, terminal = doc_to_text(doc, previous_output=previous)
+                except TypeError:
+                    break
+                if terminal:
+                    break
+            results.append(rounds)
+        return results
+
+    def loglikelihood(self, requests) -> list[tuple[float, bool]]:
+        raise NotImplementedError(
+            "loglikelihood is not supported for Qwen2-VL (reference parity:"
+            " src/models/_qwen2_vl.py:123-141)"
+        )
+
+
+@register_model("qwen2-vl-7b")
+def qwen2_vl_7b(**kwargs) -> Qwen2VL:
+    """Qwen2-VL-7B-Instruct (reference registration: src/models/_qwen2_vl.py:619-624)."""
+    kwargs.setdefault("preset", "qwen2-vl-7b")
+    return Qwen2VL(**kwargs)
+
+
+@register_model("qwen2-vl-2b")
+def qwen2_vl_2b(**kwargs) -> Qwen2VL:
+    """Qwen2-VL-2B-Instruct."""
+    kwargs.setdefault("preset", "qwen2-vl-2b")
+    return Qwen2VL(**kwargs)
+
+
+@register_model("qwen2-vl-tiny")
+def qwen2_vl_tiny(**kwargs) -> Qwen2VL:
+    """Miniature Qwen2-VL for CPU tests and pipeline smoke runs."""
+    kwargs.setdefault("preset", "qwen2-vl-tiny")
+    return Qwen2VL(**kwargs)

@@ -393,7 +393,10 @@ def vision_encode(
     Returns: [P/merge^2, hidden_size] merged vision embeddings (padding rows garbage).
     """
     act = _VISION_ACTS[config.hidden_act]
-    x = jnp.dot(patches, params["patch_embed"]["w"], preferred_element_type=patches.dtype)
+    param_dtype = params["patch_embed"]["w"].dtype
+    x = jnp.dot(
+        patches.astype(param_dtype), params["patch_embed"]["w"], preferred_element_type=param_dtype
+    )
 
     cos = jnp.cos(rope_freqs)[None, None, :, :]  # [1, 1, P, hd/2]
     sin = jnp.sin(rope_freqs)[None, None, :, :]

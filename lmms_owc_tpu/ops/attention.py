@@ -80,7 +80,7 @@ def _flash_kernel(
             k_abs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             scores = jnp.where(k_abs <= q_abs + (kv_len - pl.num_programs(2) * block_q), scores, _NEG_INF)
         if mask_ref is not None:
-            valid = mask_ref[0, pl.ds(kb * block_k, block_k)].astype(jnp.bool_)
+            valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.bool_)
             scores = jnp.where(valid[None, :], scores, _NEG_INF)
 
         m_cur = jnp.max(scores, axis=-1, keepdims=True)
@@ -96,7 +96,16 @@ def _flash_kernel(
     acc0 = jnp.zeros((block_q, head_dim), dtype=jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
     l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
-    acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    if causal:
+        # Skip k blocks that lie entirely above the causal diagonal: the last valid
+        # kv index for this q block is (i+1)*block_q - 1 + (Lk - Lq).
+        offset = kv_len - pl.num_programs(2) * block_q
+        upper = jnp.minimum(
+            pl.cdiv((i + 1) * block_q + offset, block_k), num_k_blocks
+        )
+    else:
+        upper = num_k_blocks
+    acc, _, l_final = jax.lax.fori_loop(0, upper, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l_final, 1e-30)
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
@@ -146,10 +155,13 @@ def flash_attention(
     ]
     args = [q, k, v]
     if kv_mask is not None:
+        # TPU tiling needs the last two dims (sublane, lane) aligned; broadcast the
+        # [B, Lk] mask to [B, 8, Lk] so the block shape is (1, 8, Lk).
+        mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, lk))
         in_specs.append(
-            pl.BlockSpec((1, lk), lambda bi, hi, qi: (bi, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, 8, lk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
         )
-        args.append(kv_mask.astype(jnp.int32))
+        args.append(mask8)
         kernel = functools.partial(
             _flash_kernel, scale=scale, causal=causal, block_k=block_k, q_offset_blocks=True
         )

@@ -7,7 +7,10 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unit tests run on CPU with 8 virtual devices (set LMMS_OWC_TEST_TPU=1 to run the
+# suite against real TPU hardware instead).
+if not os.environ.get("LMMS_OWC_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 # XLA-CPU's oneDNN matmuls are low-precision by default; parity tests need exact f32.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 _flags = os.environ.get("XLA_FLAGS", "")
