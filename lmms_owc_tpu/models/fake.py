@@ -70,26 +70,29 @@ class FakeModel(Model):
         return out
 
     def generate_until_multi_round(self, requests) -> list[list[str]]:
+        """Drive the reference multi-round protocol (5-tuple doc_to_text contract)."""
         out = []
         for req in requests:
             ctx, _gen_kwargs, _visual, doc_to_text, doc_id, task_name, split = req.args
+            task = self.task_dict.get(task_name)
+            if isinstance(task, tuple):
+                task = task[1]
+            doc = task.dataset[split][doc_id] if task is not None else {}
             rounds = [self._respond(ctx, task_name, split, doc_id)]
-            # Drive the multi-round protocol until the task signals termination.
-            previous = {"prompt": ctx, "response": rounds[-1], "round_idx": 1}
+            last_round_info = None
             for round_idx in range(1, 8):
                 try:
-                    next_prompt, terminal_signal = doc_to_text(
-                        self.task_dict[task_name].dataset[split][doc_id]
-                        if not isinstance(self.task_dict.get(task_name), tuple)
-                        else self.task_dict[task_name][1].dataset[split][doc_id],
-                        previous_output=previous,
+                    _visual_out, text, terminal, _prev, last_round_info = doc_to_text(
+                        doc,
+                        round_idx=round_idx,
+                        previous_round_results=list(rounds),
+                        last_round_info=last_round_info,
                     )
-                except Exception:
+                except TypeError:
                     break
-                if terminal_signal:
+                if terminal:
                     break
-                rounds.append(self._respond(next_prompt, task_name, split, doc_id))
-                previous = {"prompt": next_prompt, "response": rounds[-1], "round_idx": round_idx + 1}
+                rounds.append(self._respond(text, task_name, split, doc_id))
             out.append(rounds)
         return out
 

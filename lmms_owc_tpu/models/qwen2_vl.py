@@ -398,8 +398,13 @@ class Qwen2VL(Model):
         return collator.get_original(results)
 
     def generate_until_multi_round(self, requests) -> list[list[str]]:
-        """Staged conversation: re-prompt with each round's output until the task
-        signals termination (reference: src/models/_qwen2_vl.py:350-616)."""
+        """Staged conversation until the task's ``doc_to_text`` signals termination.
+
+        Protocol parity with reference src/models/_qwen2_vl.py:429-464: round 0 uses
+        the prebuilt context; later rounds call
+        ``doc_to_text(doc, round_idx=r, previous_round_results=..., last_round_info=...)``
+        which returns ``(visual, text, terminal, previous_round_results, last_round_info)``.
+        """
         results: list[list[str]] = []
         for req in requests:
             ctx, gen_kwargs, doc_to_visual, doc_to_text, doc_id, task_name, split = req.args
@@ -410,25 +415,27 @@ class Qwen2VL(Model):
             until = (gen_kwargs or {}).get("until") or []
 
             rounds: list[str] = []
+            last_round_info = None
             prompt_ctx = ctx
-            previous = None
-            for round_idx in range(16):
+            round_idx = 0
+            while True:
+                if round_idx != 0:
+                    out = doc_to_text(
+                        doc,
+                        round_idx=round_idx,
+                        previous_round_results=list(rounds),
+                        last_round_info=last_round_info,
+                    )
+                    _visual, prompt_ctx, terminal, _prev, last_round_info = out
+                    if terminal:
+                        break
                 ids, vision_embeds, grids = self._prepare_request(
                     (prompt_ctx, gen_kwargs, doc_to_visual, doc_id, task_name, split)
                 )
                 text = self._run_batch([(ids, vision_embeds, grids)], dict(gen_kwargs or {}))[0]
-                text = self._trim_until(text, until).strip()
-                rounds.append(text)
-                previous = {
-                    "prompt": prompt_ctx,
-                    "response": text,
-                    "round_idx": round_idx + 1,
-                }
-                try:
-                    prompt_ctx, terminal = doc_to_text(doc, previous_output=previous)
-                except TypeError:
-                    break
-                if terminal:
+                rounds.append(self._trim_until(text, until).strip())
+                round_idx += 1
+                if round_idx > 16:
                     break
             results.append(rounds)
         return results

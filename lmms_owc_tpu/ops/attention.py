@@ -27,6 +27,15 @@ DEFAULT_BLOCK_K = 128
 
 _NEG_INF = -1e30
 
+# Process-wide kernel toggle: None = auto (pallas on TPU backend). Set False when
+# compiling for a virtual CPU mesh while a TPU plugin owns the default backend.
+_USE_PALLAS_OVERRIDE: bool | None = None
+
+
+def set_use_pallas(value: bool | None) -> None:
+    global _USE_PALLAS_OVERRIDE
+    _USE_PALLAS_OVERRIDE = value
+
 
 def attention_reference(
     q: jax.Array,
@@ -137,7 +146,11 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            _USE_PALLAS_OVERRIDE
+            if _USE_PALLAS_OVERRIDE is not None
+            else jax.default_backend() == "tpu"
+        )
 
     b, h, lq, d = q.shape
     lk = k.shape[2]

@@ -7,12 +7,22 @@ import os
 import sys
 from pathlib import Path
 
-# Unit tests run on CPU with 8 virtual devices (set LMMS_OWC_TEST_TPU=1 to run the
-# suite against real TPU hardware instead).
-if not os.environ.get("LMMS_OWC_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 # XLA-CPU's oneDNN matmuls are low-precision by default; parity tests need exact f32.
 os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
+
+# Unit tests run on CPU with 8 virtual devices (set LMMS_OWC_TEST_TPU=1 to run the
+# suite against real TPU hardware instead). The env var alone is not enough in this
+# image — a sitecustomize hook force-registers the TPU backend — so also override
+# through jax.config before any backend is initialized.
+if not os.environ.get("LMMS_OWC_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from lmms_owc_tpu.ops.attention import set_use_pallas
+
+    set_use_pallas(False)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

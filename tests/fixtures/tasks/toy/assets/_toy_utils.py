@@ -52,20 +52,26 @@ def doc_to_text(doc: dict, model_specific_kwargs: dict | None = None) -> str:
 
 
 def doc_to_text_multi_round(
-    doc: dict, model_specific_kwargs: dict | None = None, previous_output: dict | None = None
+    doc: dict,
+    model_specific_kwargs: dict | None = None,
+    round_idx: int | None = None,
+    previous_round_results: list | None = None,
+    last_round_info: dict | None = None,
 ):
-    """Staged multi-round prompting with a terminal signal, as in the llamav_o1 variants."""
+    """Staged multi-round prompting with the reference 5-tuple protocol."""
     kwargs = model_specific_kwargs or {}
+    pre = kwargs.get("pre_prompt", "")
+    post = kwargs.get("post_prompt", "")
     prompts = kwargs.get(
         "prompts",
         ["Describe the photo.", "What type of object is in this photo?"],
     )
-    if previous_output is None:
-        return prompts[0], False
-    round_idx = previous_output.get("round_idx", 1)
-    if round_idx >= len(prompts):
-        return "", True
-    return prompts[round_idx], False
+    previous_round_results = previous_round_results or []
+    if round_idx is None:
+        return pre + prompts[0] + post
+    if round_idx < len(prompts):
+        return None, pre + prompts[round_idx] + post, False, previous_round_results, last_round_info
+    return None, None, True, previous_round_results, last_round_info
 
 
 def doc_to_visual(doc: dict) -> list:
