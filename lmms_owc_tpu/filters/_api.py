@@ -66,10 +66,14 @@ def get_filter(name: str) -> type:
     return FILTERS[name].filter_cls
 
 
-def get_filters_ensemble(name: str, components: list[tuple[str, dict | None]]) -> FilterEnsemble:
-    """Build a named ensemble from ``[(filter_name, kwargs), ...]``."""
+def get_filters_ensemble(name: str, components: list[tuple]) -> FilterEnsemble:
+    """Build a named ensemble from ``[(filter_name_or_class, kwargs), ...]``.
+
+    Task YAMLs may pass a custom filter class via ``!function`` instead of a
+    registered name (e.g. the example tasks' CustomMultiChoiceRegexFilter).
+    """
     filters = []
     for fname, kwargs in components:
-        cls = get_filter(fname)
+        cls = fname if callable(fname) else get_filter(fname)
         filters.append(cls(**(kwargs or {})))
     return FilterEnsemble(name=name, filters=filters)

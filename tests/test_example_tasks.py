@@ -1,0 +1,125 @@
+"""Unit tests for the example tasks' parsing/scoring hooks (no dataset downloads)."""
+
+import importlib.util
+from pathlib import Path
+
+import pytest
+
+CONFIGS = Path(__file__).resolve().parent.parent / "lmms_owc_tpu" / "tasks" / "configs"
+
+
+def _load(name: str, rel: str):
+    spec = importlib.util.spec_from_file_location(name, CONFIGS / rel)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+@pytest.fixture(scope="module")
+def mmmu():
+    return _load("mmmu_utils_test", "examples/mmmu/_mmmu_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ai2d():
+    return _load("ai2d_utils_test", "examples/ai2d/_ai2d_utils.py")
+
+
+@pytest.fixture(scope="module")
+def ocr(
+):
+    return _load("ocr_utils_test", "examples/ocr_bench/_ocr_bench_utils.py")
+
+
+class TestTaskIndexing:
+    def test_all_example_tasks_indexed(self):
+        from lmms_owc_tpu.tasks import TaskManager
+
+        tm = TaskManager()
+        for task in ["ai2d", "mmmu_val", "muirbench", "ocr_bench"]:
+            assert task in tm.all_subtasks, task
+
+
+class TestAi2d:
+    def test_doc_to_text_mcq(self, ai2d):
+        doc = {"question": "What is shown?", "options": ["cat", "dog"]}
+        text = ai2d.doc_to_text(
+            doc, {"prompt_format": "mcq", "pre_prompt": "", "post_prompt": "\nAnswer:"}
+        )
+        assert text == "What is shown?\nA. cat\nB. dog\nAnswer:"
+
+    def test_doc_to_target(self, ai2d):
+        doc = {"options": ["cat", "dog"], "answer": "1"}
+        assert ai2d.doc_to_target(doc, "mcq") == "B"
+        assert ai2d.doc_to_target(doc, "qa") == "dog"
+
+    def test_filter_extracts_leading_letter(self, ai2d):
+        f = ai2d.CustomMultiChoiceRegexFilter(regex_pattern=r"([A-Z])\.")
+        out = f.apply([["B. dog"], ["the dog"]], [{}, {}])
+        assert out == ["B", "the dog"]
+
+
+class TestMmmuParsing:
+    def test_multi_choice_bracket(self, mmmu):
+        index2ans = {"A": "red", "B": "blue"}
+        assert mmmu._parse_multi_choice_response("The answer is (B)", ["A", "B"], index2ans) == "B"
+
+    def test_multi_choice_dot(self, mmmu):
+        index2ans = {"A": "red", "B": "blue"}
+        assert mmmu._parse_multi_choice_response("B.", ["A", "B"], index2ans) == "B"
+
+    def test_multi_choice_content(self, mmmu):
+        index2ans = {"A": "red", "B": "blue"}
+        resp = "I believe the color shown in the image is blue overall"
+        assert mmmu._parse_multi_choice_response(resp, ["A", "B"], index2ans) == "B"
+
+    def test_open_response_numbers(self, mmmu):
+        preds = mmmu._parse_open_response("The total is 1,234.5")
+        assert 1234.5 in preds
+
+    def test_eval_open(self, mmmu):
+        assert mmmu._eval_open("42", [42.0])
+        assert mmmu._eval_open(["cat", "dog"], ["the dog barks"])
+        assert not mmmu._eval_open("cat", ["dog"])
+
+    def test_aggregate(self, mmmu):
+        results = [
+            {"id": "validation_Art_1", "subdomain": "Art", "question_type": "multiple-choice",
+             "answer": "A", "parsed_pred": ["A"]},
+            {"id": "validation_Art_2", "subdomain": "Art", "question_type": "multiple-choice",
+             "answer": "B", "parsed_pred": ["A"]},
+            {"id": "validation_Math_1", "subdomain": "Math", "question_type": "open",
+             "answer": "42", "parsed_pred": [[42.0]]},
+        ]
+        acc = mmmu.aggregate_results(results)
+        assert acc == pytest.approx(2 / 3, abs=1e-4)
+
+    def test_process_results_shape(self, mmmu):
+        doc = {"id": "validation_Art_1", "question_type": "multiple-choice",
+               "options": "['red', 'blue']", "answer": "A"}
+        out = mmmu.process_results(doc, ["(A)"])
+        assert out["mmmu_acc"]["parsed_pred"] == ["A"]
+        assert out["mmmu_acc"]["subdomain"] == "Art"
+
+
+class TestOcrBench:
+    def test_process_and_aggregate(self, ocr):
+        doc = {"answer": "hello", "dataset": "IIIT5K", "question_type": "Regular Text Recognition"}
+        out = ocr.process_results(doc, ["it says Hello there"])
+        assert out["ocr_bench_accuracy"]["score"] == 1
+        doc2 = {"answer": "x^2", "dataset": "HME100k",
+                "question_type": "Handwritten Mathematical Expression Recognition"}
+        out2 = ocr.process_results(doc2, ["x ^ 2"])
+        assert out2["ocr_bench_accuracy"]["score"] == 1
+        agg = ocr.aggregate_accuracy([out["ocr_bench_accuracy"], out2["ocr_bench_accuracy"]])
+        assert agg == pytest.approx(2 / 1000)
+
+
+class TestMuirbench:
+    def test_aggregate(self):
+        muir = _load("muir_utils_test", "examples/muirbench/_muirbench_utils.py")
+        results = [
+            {"pred": "A", "task": "t1", "answer": "A"},
+            {"pred": "B", "task": "t1", "answer": "A"},
+        ]
+        assert muir.aggregate_muirbench_score(results) == 0.5
