@@ -1,0 +1,120 @@
+"""Llama-family causal LM in JAX (Llama 3.x / Vicuna / Qwen2-text).
+
+Reuses the stacked-layer decoder machinery from :mod:`lmms_owc_tpu.nn.qwen2_vl`:
+a Llama decoder is the same RMSNorm/GQA/SwiGLU block with standard 1D RoPE — which
+equals M-RoPE when all three position streams are identical — and no attention
+biases. Used by the Llama-3.2 judge pipeline and the LLaVA text backbone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmms_owc_tpu.nn.qwen2_vl import (
+    Qwen2VLConfig,
+    convert_hf_decoder_weights,
+    decode_step,
+    greedy_generate,
+    init_decoder_params,
+    prefill,
+)
+
+__all__ = [
+    "LlamaConfig",
+    "llama_config_from_hf",
+    "init_llama_params",
+    "convert_hf_llama_weights",
+    "llama_positions",
+    "prefill",
+    "decode_step",
+    "greedy_generate",
+]
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128256
+    hidden_size: int = 3072
+    num_layers: int = 28
+    num_heads: int = 24
+    num_kv_heads: int = 8
+    intermediate_size: int = 8192
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    rope_scaling: dict | None = None
+    max_position_embeddings: int = 131072
+    tie_word_embeddings: bool = True
+    eos_token_id: int = 128009
+    pad_token_id: int = 128004
+    attn_bias: bool = False
+
+    def to_decoder_config(self) -> Qwen2VLConfig:
+        """View as a Qwen2VLConfig with uniform mrope sections (== standard RoPE)."""
+        hd2 = (self.hidden_size // self.num_heads) // 2
+        third = hd2 // 3
+        rope_llama3 = None
+        if self.rope_scaling and self.rope_scaling.get("rope_type", self.rope_scaling.get("type")) == "llama3":
+            rope_llama3 = (
+                self.rope_scaling["factor"],
+                self.rope_scaling["low_freq_factor"],
+                self.rope_scaling["high_freq_factor"],
+                self.rope_scaling["original_max_position_embeddings"],
+            )
+        return Qwen2VLConfig(
+            rope_llama3=rope_llama3,
+            vocab_size=self.vocab_size,
+            hidden_size=self.hidden_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            num_kv_heads=self.num_kv_heads,
+            intermediate_size=self.intermediate_size,
+            rms_norm_eps=self.rms_norm_eps,
+            rope_theta=self.rope_theta,
+            max_position_embeddings=self.max_position_embeddings,
+            tie_word_embeddings=self.tie_word_embeddings,
+            mrope_section=(third, third, hd2 - 2 * third),
+            eos_token_id=self.eos_token_id,
+            pad_token_id=self.pad_token_id,
+        )
+
+
+def llama_config_from_hf(cfg: dict) -> LlamaConfig:
+    eos = cfg.get("eos_token_id", 128009)
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+        intermediate_size=cfg["intermediate_size"],
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg.get("rope_theta", 500000.0),
+        rope_scaling=cfg.get("rope_scaling"),
+        max_position_embeddings=cfg.get("max_position_embeddings", 131072),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        eos_token_id=eos[0] if isinstance(eos, list) else eos,
+        pad_token_id=cfg.get("pad_token_id") or 0,
+        attn_bias=cfg.get("attention_bias", False),
+    )
+
+
+def init_llama_params(key: jax.Array, config: LlamaConfig, dtype=jnp.bfloat16) -> dict:
+    return init_decoder_params(key, config.to_decoder_config(), dtype, attn_bias=config.attn_bias)
+
+
+def convert_hf_llama_weights(state: dict, config: LlamaConfig, dtype=jnp.bfloat16) -> dict:
+    return convert_hf_decoder_weights(
+        state, config.to_decoder_config(), dtype, attn_bias=config.attn_bias
+    )
+
+
+def llama_positions(attention_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """1D positions broadcast to the [3, B, L] M-RoPE layout, plus next positions."""
+    positions_1d = np.maximum(attention_mask.cumsum(axis=-1) - 1, 0)
+    position_ids = np.broadcast_to(positions_1d[None], (3, *positions_1d.shape)).copy()
+    next_pos = attention_mask.sum(axis=-1)
+    return position_ids, next_pos

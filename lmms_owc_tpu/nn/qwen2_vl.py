@@ -41,9 +41,11 @@ log = get_logger(__name__)
 __all__ = [
     "Qwen2VLConfig",
     "Qwen2VLVisionConfig",
+    "convert_hf_decoder_weights",
     "convert_hf_weights",
     "decode_step",
     "greedy_generate",
+    "init_decoder_params",
     "init_params",
     "mrope_cos_sin",
     "prefill",
@@ -96,6 +98,9 @@ class Qwen2VLConfig:
     vision_start_token_id: int = 151652
     eos_token_id: int = 151645
     pad_token_id: int = 151643
+    # Llama3-style RoPE frequency scaling: (factor, low_freq_factor, high_freq_factor,
+    # original_max_position_embeddings), or None for plain RoPE.
+    rope_llama3: tuple | None = None
     vision: Qwen2VLVisionConfig = field(default_factory=Qwen2VLVisionConfig)
 
     @property
@@ -151,9 +156,11 @@ _VISION_ACTS = {"quick_gelu": quick_gelu, "gelu": gelu, "silu": jax.nn.silu}
 # ======================================================================== init
 
 
-def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
-    """Random-init full parameter tree (decoder layers stacked on axis 0)."""
-    keys = jax.random.split(key, 16)
+def init_decoder_params(
+    key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16, attn_bias: bool = True
+) -> dict:
+    """Random-init the text decoder tree (stacked layers, no vision tower)."""
+    keys = jax.random.split(key, 4)
     kit = iter(keys)
 
     def w(k, shape, scale=0.02):
@@ -171,9 +178,9 @@ def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> di
     lk = jax.random.split(next(kit), 8)
     layers = {
         "attn": {
-            "q": stack_linears(lk[0], h, nh * hd, bias=True),
-            "k": stack_linears(lk[1], h, kvh * hd, bias=True),
-            "v": stack_linears(lk[2], h, kvh * hd, bias=True),
+            "q": stack_linears(lk[0], h, nh * hd, bias=attn_bias),
+            "k": stack_linears(lk[1], h, kvh * hd, bias=attn_bias),
+            "v": stack_linears(lk[2], h, kvh * hd, bias=attn_bias),
             "o": stack_linears(lk[3], nh * hd, h, bias=False),
         },
         "input_ln": {"scale": jnp.ones((L, h), dtype)},
@@ -184,6 +191,26 @@ def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> di
             "down": stack_linears(lk[6], inter, h, bias=False),
         },
     }
+    params = {
+        "embed_tokens": w(next(kit), (config.vocab_size, h)),
+        "layers": layers,
+        "final_norm": {"scale": jnp.ones(h, dtype)},
+    }
+    if not config.tie_word_embeddings:
+        params["lm_head"] = {"w": w(next(kit), (h, config.vocab_size))}
+    return params
+
+
+def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
+    """Random-init full parameter tree (decoder layers stacked on axis 0)."""
+    keys = jax.random.split(key, 16)
+    kit = iter(keys)
+    params = init_decoder_params(next(kit), config, dtype, attn_bias=True)
+
+    def w(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+    h = config.hidden_size
 
     v = config.vision
     vk = jax.random.split(next(kit), 8)
@@ -196,33 +223,28 @@ def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> di
         "fc2": {"w": w(vk[3], (v.depth, v.mlp_hidden, v.embed_dim)), "b": jnp.zeros((v.depth, v.embed_dim), dtype)},
     }
     merge_dim = v.embed_dim * v.spatial_merge_size**2
-    params = {
-        "embed_tokens": w(next(kit), (config.vocab_size, h)),
-        "layers": layers,
-        "final_norm": {"scale": jnp.ones(h, dtype)},
-        "vision": {
-            "patch_embed": {"w": w(next(kit), (v.patch_dim, v.embed_dim))},
-            "layers": vision_layers,
-            "merger": {
-                "ln_q": {"scale": jnp.ones(v.embed_dim, dtype), "bias": jnp.zeros(v.embed_dim, dtype)},
-                "fc1": {"w": w(next(kit), (merge_dim, merge_dim)), "b": jnp.zeros(merge_dim, dtype)},
-                "fc2": {"w": w(next(kit), (merge_dim, h)), "b": jnp.zeros(h, dtype)},
-            },
+    params["vision"] = {
+        "patch_embed": {"w": w(next(kit), (v.patch_dim, v.embed_dim))},
+        "layers": vision_layers,
+        "merger": {
+            "ln_q": {"scale": jnp.ones(v.embed_dim, dtype), "bias": jnp.zeros(v.embed_dim, dtype)},
+            "fc1": {"w": w(next(kit), (merge_dim, merge_dim)), "b": jnp.zeros(merge_dim, dtype)},
+            "fc2": {"w": w(next(kit), (merge_dim, h)), "b": jnp.zeros(h, dtype)},
         },
     }
-    if not config.tie_word_embeddings:
-        params["lm_head"] = {"w": w(next(kit), (h, config.vocab_size))}
     return params
 
 
 # ================================================================== converter
 
 
-def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
-    """Map HF qwen2_vl safetensors names to the stacked-layer tree.
+def convert_hf_decoder_weights(
+    state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16, attn_bias: bool = True
+) -> dict:
+    """Map HF llama-style decoder safetensors names to the stacked-layer tree.
 
-    Handles both naming schemes: legacy ("model.", "visual.") and new
-    ("model.language_model.", "model.visual.").
+    Handles the prefix variants used across model families/versions
+    ("model.", "model.language_model.", "language_model.").
     """
 
     def find(name: str):
@@ -254,9 +276,9 @@ def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -
     lp = "layers.{}"
     layers = {
         "attn": {
-            "q": stack_lin(lp + ".self_attn.q_proj", L, True),
-            "k": stack_lin(lp + ".self_attn.k_proj", L, True),
-            "v": stack_lin(lp + ".self_attn.v_proj", L, True),
+            "q": stack_lin(lp + ".self_attn.q_proj", L, attn_bias),
+            "k": stack_lin(lp + ".self_attn.k_proj", L, attn_bias),
+            "v": stack_lin(lp + ".self_attn.v_proj", L, attn_bias),
             "o": stack_lin(lp + ".self_attn.o_proj", L, False),
         },
         "input_ln": stack_norm(lp + ".input_layernorm", L),
@@ -267,6 +289,22 @@ def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -
             "down": stack_lin(lp + ".mlp.down_proj", L, False),
         },
     }
+    params = {
+        "embed_tokens": raw("embed_tokens.weight"),
+        "layers": layers,
+        "final_norm": {"scale": raw("norm.weight")},
+    }
+    if not config.tie_word_embeddings:
+        if "lm_head.weight" in state:
+            params["lm_head"] = {"w": jnp.asarray(np.asarray(state["lm_head.weight"]).T, dtype)}
+        else:
+            params["lm_head"] = {"w": t("lm_head.weight")}
+    return params
+
+
+def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
+    """Map HF qwen2_vl safetensors names (decoder + vision tower) to the param tree."""
+    params = convert_hf_decoder_weights(state, config, dtype, attn_bias=True)
 
     def vfind(name: str):
         for prefix in ("visual.", "model.visual."):
@@ -326,25 +364,15 @@ def convert_hf_weights(state: dict, config: Qwen2VLConfig, dtype=jnp.bfloat16) -
     patch_w = np.asarray(vfind("patch_embed.proj.weight"))
     patch_w = patch_w.reshape(v.embed_dim, -1).T
 
-    params = {
-        "embed_tokens": raw("embed_tokens.weight"),
-        "layers": layers,
-        "final_norm": {"scale": raw("norm.weight")},
-        "vision": {
-            "patch_embed": {"w": jnp.asarray(patch_w, dtype)},
-            "layers": vision_layers,
-            "merger": {
-                "ln_q": {"scale": vraw("merger.ln_q.weight"), "bias": vraw("merger.ln_q.bias")},
-                "fc1": {"w": vt("merger.mlp.0.weight"), "b": vraw("merger.mlp.0.bias")},
-                "fc2": {"w": vt("merger.mlp.2.weight"), "b": vraw("merger.mlp.2.bias")},
-            },
+    params["vision"] = {
+        "patch_embed": {"w": jnp.asarray(patch_w, dtype)},
+        "layers": vision_layers,
+        "merger": {
+            "ln_q": {"scale": vraw("merger.ln_q.weight"), "bias": vraw("merger.ln_q.bias")},
+            "fc1": {"w": vt("merger.mlp.0.weight"), "b": vraw("merger.mlp.0.bias")},
+            "fc2": {"w": vt("merger.mlp.2.weight"), "b": vraw("merger.mlp.2.bias")},
         },
     }
-    if not config.tie_word_embeddings:
-        if "lm_head.weight" in state:
-            params["lm_head"] = {"w": jnp.asarray(np.asarray(state["lm_head.weight"]).T, dtype)}
-        else:
-            params["lm_head"] = {"w": raw("lm_head.weight")}
     return params
 
 
@@ -485,12 +513,28 @@ def get_rope_index(
     return position_ids, next_pos
 
 
+def _llama3_scale_inv_freq(inv_freq: jax.Array, scaling: tuple) -> jax.Array:
+    """HF llama3 rope scaling: damp low-frequency components by ``factor`` with a
+    smooth transition band (transformers modeling_rope_utils._compute_llama3_parameters)."""
+    factor, low_freq_factor, high_freq_factor, old_context_len = scaling
+    low_freq_wavelen = old_context_len / low_freq_factor
+    high_freq_wavelen = old_context_len / high_freq_factor
+    wavelen = 2 * np.pi / inv_freq
+    scaled = jnp.where(wavelen > low_freq_wavelen, inv_freq / factor, inv_freq)
+    smooth = (old_context_len / wavelen - low_freq_factor) / (high_freq_factor - low_freq_factor)
+    smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+    is_medium = (wavelen >= high_freq_wavelen) & (wavelen <= low_freq_wavelen)
+    return jnp.where(is_medium, smoothed, scaled)
+
+
 def mrope_cos_sin(
     position_ids: jax.Array, config: Qwen2VLConfig
 ) -> tuple[jax.Array, jax.Array]:
     """Combine t/h/w rotary tables into [B, L, head_dim/2] cos/sin (f32)."""
     hd2 = config.head_dim // 2
     inv_freq = 1.0 / (config.rope_theta ** (jnp.arange(0, hd2, dtype=jnp.float32) / hd2))
+    if config.rope_llama3 is not None:
+        inv_freq = _llama3_scale_inv_freq(inv_freq, config.rope_llama3)
     # freqs: [3, B, L, hd/2]
     freqs = position_ids[..., None].astype(jnp.float32) * inv_freq[None, None, None, :]
     sections = np.cumsum(np.array(config.mrope_section))[:-1]
