@@ -1,0 +1,417 @@
+"""LLaVA (HF-style) model adapter: llava-1.5 family with generate_until + loglikelihood.
+
+Functional parity with reference src/models/_llava_hf.py (registered IDs :586-613,
+generate flow, Vicuna chat format constant :23, loglikelihood via context/continuation
+masking :169-260), on the JAX stack: CLIP-ViT tower + projector + Llama decoder,
+batched left-padded generation, fused loglikelihood scoring (one jitted forward per
+length bucket instead of per-sample HF forwards).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from lmms_owc_tpu.models._api import register_model
+from lmms_owc_tpu.models._base import Model
+from lmms_owc_tpu.utils import Collator, get_logger, pad_to_bucket
+
+log = get_logger(__name__)
+
+__all__ = ["LlavaHf"]
+
+DEFAULT_MAX_NEW_TOKENS = 128
+
+# Vicuna v1 conversation format used by llava-1.5 (reference src/models/_llava_hf.py:23).
+VICUNA_SYSTEM = (
+    "A chat between a curious human and an artificial intelligence assistant. "
+    "The assistant gives helpful, detailed, and polite answers to the human's questions."
+)
+
+PRESET_CONFIGS = {
+    "llava-1.5-7b": dict(
+        text_config=dict(
+            model_type="llama", vocab_size=32064, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, image_size=336, patch_size=14,
+        ),
+        image_token_index=32000,
+    ),
+    "llava-1.5-13b": dict(
+        text_config=dict(
+            model_type="llama", vocab_size=32064, hidden_size=5120, intermediate_size=13824,
+            num_hidden_layers=40, num_attention_heads=40, num_key_value_heads=40,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, image_size=336, patch_size=14,
+        ),
+        image_token_index=32000,
+    ),
+    "llava-tiny": dict(
+        text_config=dict(
+            model_type="llama", vocab_size=32064, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=True,
+        ),
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, image_size=28, patch_size=14,
+        ),
+        image_token_index=32000,
+    ),
+}
+
+
+class _FallbackLlavaTokenizer:
+    """Hash tokenizer for random-init benchmarking; handles <image> and </s>."""
+
+    eos_token_id = 2
+    pad_token_id = 0
+
+    def __init__(self, image_token_id: int, vocab_size: int = 32000) -> None:
+        self.image_token_id = image_token_id
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        import hashlib
+
+        ids = [1] if add_special_tokens else []
+        for piece in text.replace("<image>", " <image> ").split():
+            if piece == "<image>":
+                ids.append(self.image_token_id)
+            else:
+                ids.append(
+                    100 + int.from_bytes(hashlib.md5(piece.encode()).digest()[:3], "little")
+                    % (self.vocab_size - 200)
+                )
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        return " ".join(f"tok{int(i)}" for i in ids if int(i) > 2)
+
+
+class LlavaHf(Model):
+    """LLaVA-1.5 on the JAX/TPU stack."""
+
+    def __init__(
+        self,
+        pretrained: str | None = None,
+        preset: str = "llava-1.5-7b",
+        random_init: bool = False,
+        model_parallel: int = 1,
+        use_mesh: bool = False,
+        jax_random_seed: int = 1234,
+        **kwargs,
+    ) -> None:
+        self.pretrained = pretrained
+        self.preset = preset
+        self.random_init = random_init or pretrained is None
+        self.model_parallel = int(model_parallel)
+        self.use_mesh = use_mesh or self.model_parallel > 1
+        self.jax_random_seed = jax_random_seed
+        super().__init__(model_id=preset, **kwargs)
+
+    # ------------------------------------------------------------------- load
+
+    def load_model(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import llava as lv
+        from lmms_owc_tpu.nn.loader import load_config_json, load_safetensors_state
+
+        dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.float16}[
+            self.dtype
+        ]
+        if self.pretrained is not None and Path(self.pretrained).exists():
+            self.config = lv.llava_config_from_hf(load_config_json(self.pretrained))
+            state = load_safetensors_state(self.pretrained)
+            self.params = lv.convert_hf_llava_weights(state, self.config, dtype)
+            del state
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self.pretrained)
+            log.info("loaded %s from %s", self.preset, self.pretrained)
+        else:
+            if not self.random_init:
+                raise FileNotFoundError(f"checkpoint not found: {self.pretrained}")
+            preset = PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["llava-1.5-7b"])
+            self.config = lv.llava_config_from_hf(dict(preset))
+            self.params = lv.init_llava_params(
+                jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+            )
+            self.tokenizer = _FallbackLlavaTokenizer(self.config.image_token_id)
+            log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
+
+        import dataclasses
+
+        # The decoder view routes pad ids from the llava config.
+        self.decoder_config = dataclasses.replace(
+            self.config.text.to_decoder_config(), pad_token_id=self.config.pad_token_id
+        )
+
+        self.mesh = None
+        if self.use_mesh:
+            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+            from lmms_owc_tpu.parallel.sharding import shard_params
+
+            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
+            self.params["text"] = shard_params(self.params["text"], self.mesh)
+
+        self._rng = jax.random.PRNGKey(self.jax_random_seed)
+
+    @property
+    def eos_token_ids(self) -> list[int]:
+        eos = getattr(self.tokenizer, "eos_token_id", 2)
+        return [int(eos)] if eos is not None else [2]
+
+    @property
+    def chat_template(self) -> str:
+        return "vicuna_v1"
+
+    @property
+    def tokenizer_name(self) -> str:
+        return f"llava_{self.preset}"
+
+    def apply_chat_template(self, messages: list[dict]) -> str:
+        parts = [VICUNA_SYSTEM, " "]
+        for msg in messages:
+            role = "USER" if msg["role"] == "user" else "ASSISTANT"
+            parts.append(f"{role}: {msg['content']} ")
+        parts.append("ASSISTANT:")
+        return "".join(parts)
+
+    def _build_prompt(self, context: str, num_images: int) -> str:
+        image_tokens = "<image>\n" * num_images
+        return f"USER: {image_tokens}{context} ASSISTANT:"
+
+    # ------------------------------------------------------------ preprocessing
+
+    def _preprocess_images(self, visuals: list) -> np.ndarray | None:
+        """CLIP preprocessing: resize shortest side + center crop + normalize."""
+        if not visuals:
+            return None
+        from PIL import Image
+
+        from lmms_owc_tpu.ops.image import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+        size = self.config.vision.image_size
+        arrays = []
+        for image in visuals:
+            image = image.convert("RGB")
+            w, h = image.size
+            scale = size / min(w, h)
+            image = image.resize((max(size, round(w * scale)), max(size, round(h * scale))), Image.BICUBIC)
+            w, h = image.size
+            left, top = (w - size) // 2, (h - size) // 2
+            image = image.crop((left, top, left + size, top + size))
+            arr = np.asarray(image).astype(np.float32) / 255.0
+            arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
+            arrays.append(arr.transpose(2, 0, 1))
+        return np.stack(arrays)
+
+    def _embed_sequence(self, input_ids: np.ndarray, pixel_values: np.ndarray | None):
+        """Token embeddings with projected image features scattered into <image> slots."""
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import llava as lv
+
+        embeds = jnp.take(self.params["text"]["embed_tokens"], jnp.asarray(input_ids), axis=0)
+        if pixel_values is None:
+            return embeds
+        vision = lv.encode_images(
+            self.params, jnp.asarray(pixel_values, embeds.dtype), self.config
+        )  # [N, S, H]
+        flat = vision.reshape(-1, vision.shape[-1])
+        rows, cols = np.where(input_ids == self.config.image_token_id)
+        return embeds.at[jnp.asarray(rows), jnp.asarray(cols)].set(flat.astype(embeds.dtype))
+
+    def _prepare_request(self, ctx, doc_to_visual, doc_id, task_name, split):
+        task = self.task_dict.get(task_name)
+        if isinstance(task, tuple):
+            task = task[1]
+        visuals = []
+        if task is not None and doc_to_visual is not None:
+            doc = task.dataset[split][doc_id]
+            visuals = doc_to_visual(doc) or []
+        prompt = self._build_prompt(ctx, len(visuals))
+        ids = self.tokenizer.encode(prompt)
+        # Expand each single <image> token to image_seq_length positions.
+        expanded: list[int] = []
+        for tok in ids:
+            if tok == self.config.image_token_id:
+                expanded.extend([tok] * self.config.image_seq_length)
+            else:
+                expanded.append(tok)
+        return expanded, self._preprocess_images(visuals)
+
+    # ------------------------------------------------------------- generation
+
+    def generate_until(self, requests) -> list[str]:
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import llama as L
+
+        collator = Collator(
+            [req.args for req in requests],
+            sort_fn=lambda args: -len(args[0]),
+            group_fn=lambda args: repr(args[1]),
+            group_by="gen_kwargs",
+        )
+        results: list[str] = []
+        for chunk in collator.get_batched(n=self.batch_size):
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
+
+            prepared = [
+                self._prepare_request(args[0], args[2], args[3], args[4], args[5])
+                for args in chunk
+            ]
+            bsz = len(prepared)
+            bucket = pad_to_bucket(max(len(ids) for ids, _ in prepared))
+            pad_id = self.config.pad_token_id
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            pixel_list = []
+            for row, (ids, pixels) in enumerate(prepared):
+                input_ids[row, bucket - len(ids) :] = ids
+                mask[row, bucket - len(ids) :] = 1
+                if pixels is not None:
+                    pixel_list.append(pixels)
+            pixels = np.concatenate(pixel_list) if pixel_list else None
+
+            embeds = self._embed_sequence(input_ids, pixels)
+            position_ids, next_pos = L.llama_positions(mask)
+            self._rng, subkey = jax.random.split(self._rng)
+            tokens = L.greedy_generate(
+                self.params["text"],
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(next_pos.astype(np.int32)),
+                self.decoder_config,
+                max_new_tokens=max_new,
+                cache_len=bucket + pad_to_bucket(max_new, (64, 128, 256, 512)),
+                eos_ids=jnp.asarray(self.eos_token_ids, jnp.int32),
+                rng_key=subkey,
+                do_sample=bool(gen_kwargs.get("do_sample", False)),
+                temperature=float(gen_kwargs.get("temperature") or 1.0),
+                top_p=float(gen_kwargs.get("top_p") or 1.0),
+            )
+            tokens = np.asarray(tokens)
+            stop = set(self.eos_token_ids) | {pad_id}
+            for row in range(bsz):
+                ids = []
+                for tok in tokens[row]:
+                    if int(tok) in stop:
+                        break
+                    ids.append(int(tok))
+                text = self.tokenizer.decode(ids, skip_special_tokens=True)
+                for stop_str in until:
+                    if stop_str and stop_str in text:
+                        text = text.split(stop_str)[0]
+                results.append(text.strip())
+        return collator.get_original(results)
+
+    def loglikelihood(self, requests) -> list[tuple[float, bool]]:
+        """(ctx, doc_to_target, doc_to_visual, doc_id, task, split) -> (loss, is_greedy).
+
+        Contract parity with reference src/models/_llava_hf.py:169-260: labels are the
+        full ids with the context masked; returns mean CE over the continuation and
+        whether greedy decoding reproduces it.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import llama as L
+
+        results: list[tuple[float, bool]] = []
+        for start in range(0, len(requests), self.batch_size):
+            batch = requests[start : start + self.batch_size]
+            rows = []
+            for req in batch:
+                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args
+                task = self.task_dict.get(task_name)
+                if isinstance(task, tuple):
+                    task = task[1]
+                doc = task.dataset[split][doc_id]
+                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+                if isinstance(continuation, list):
+                    continuation = continuation[0]
+                visuals = doc_to_visual(doc) if doc_to_visual else []
+
+                prompt = self._build_prompt(ctx, len(visuals))
+                ctx_ids = self.tokenizer.encode(prompt)
+                full_ids = self.tokenizer.encode(prompt + " " + str(continuation))
+                expanded_ctx, pixels = self._prepare_request(
+                    ctx, doc_to_visual, doc_id, task_name, split
+                )
+                cont_ids = full_ids[len(ctx_ids) :]
+                rows.append((expanded_ctx + cont_ids, len(cont_ids), pixels))
+
+            bucket = pad_to_bucket(max(len(ids) for ids, _, _ in rows))
+            pad_id = self.config.pad_token_id
+            bsz = len(rows)
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            target_ids = np.zeros((bsz, bucket), np.int64)
+            target_mask = np.zeros((bsz, bucket), np.int64)
+            pixel_list = []
+            for row, (ids, n_cont, pixels) in enumerate(rows):
+                offset = bucket - len(ids)
+                input_ids[row, offset:] = ids
+                mask[row, offset:] = 1
+                # Position t predicts token t+1: continuation targets live at the
+                # last n_cont prediction slots.
+                target_ids[row, offset : bucket - 1] = ids[1:]
+                target_mask[row, bucket - 1 - n_cont : bucket - 1] = 1
+                if pixels is not None:
+                    pixel_list.append(pixels)
+            pixels = np.concatenate(pixel_list) if pixel_list else None
+
+            embeds = self._embed_sequence(input_ids, pixels)
+            position_ids, _ = L.llama_positions(mask)
+            loss, is_greedy = L.score_continuation(
+                self.params["text"],
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(target_ids),
+                jnp.asarray(target_mask.astype(np.int32)),
+                self.decoder_config,
+            )
+            results.extend(
+                (float(l), bool(g)) for l, g in zip(np.asarray(loss), np.asarray(is_greedy))
+            )
+        return results
+
+
+@register_model("llava-1.5-7b")
+def llava_15_7b(**kwargs) -> LlavaHf:
+    """llava-hf/llava-1.5-7b-hf (reference registration: src/models/_llava_hf.py:586-595)."""
+    kwargs.setdefault("preset", "llava-1.5-7b")
+    return LlavaHf(**kwargs)
+
+
+@register_model("llava-1.5-13b")
+def llava_15_13b(**kwargs) -> LlavaHf:
+    """llava-hf/llava-1.5-13b-hf."""
+    kwargs.setdefault("preset", "llava-1.5-13b")
+    return LlavaHf(**kwargs)
+
+
+@register_model("llava-tiny")
+def llava_tiny(**kwargs) -> LlavaHf:
+    """Miniature LLaVA for CPU tests."""
+    kwargs.setdefault("preset", "llava-tiny")
+    return LlavaHf(**kwargs)

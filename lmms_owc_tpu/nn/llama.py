@@ -21,6 +21,7 @@ from lmms_owc_tpu.nn.qwen2_vl import (
     greedy_generate,
     init_decoder_params,
     prefill,
+    score_continuation,
 )
 
 __all__ = [
@@ -32,6 +33,7 @@ __all__ = [
     "prefill",
     "decode_step",
     "greedy_generate",
+    "score_continuation",
 ]
 
 

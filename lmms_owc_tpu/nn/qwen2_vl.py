@@ -49,6 +49,7 @@ __all__ = [
     "init_params",
     "mrope_cos_sin",
     "prefill",
+    "score_continuation",
     "vision_encode",
     "vision_rope_cos_sin",
     "get_rope_index",
@@ -579,6 +580,57 @@ def _layer_params_at(layers: dict, leaf_selector) -> dict:
     return jax.tree_util.tree_map(leaf_selector, layers)
 
 
+def _decoder_forward(params, input_embeds, position_ids, attention_mask, config):
+    """Causal decoder over the full (padded) sequence -> (final hidden states, (ks, vs))."""
+    cos, sin = mrope_cos_sin(position_ids, config)  # [B, L, hd/2]
+
+    def layer_fn(x, layer):
+        attn_out, (k, v) = _attention_block(
+            layer, rms_norm(layer["input_ln"], x, config.rms_norm_eps), cos, sin, config,
+            kv_mask=attention_mask, causal=True,
+        )
+        x = x + attn_out
+        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(layer_fn, input_embeds, params["layers"])
+    return rms_norm(params["final_norm"], x, config.rms_norm_eps), (ks, vs)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def score_continuation(
+    params: dict,
+    input_embeds: jax.Array,
+    position_ids: jax.Array,
+    attention_mask: jax.Array,
+    target_ids: jax.Array,
+    target_mask: jax.Array,
+    config: Qwen2VLConfig,
+) -> tuple[jax.Array, jax.Array]:
+    """Loglikelihood scoring: mean cross-entropy over the continuation + greedy match.
+
+    ``target_ids[b, t]`` is the token the model should predict AT position t (i.e.
+    input shifted left by one); ``target_mask`` selects continuation positions.
+    Returns (loss [B], is_greedy [B]) matching the reference loglikelihood contract
+    (mean CE loss with context masked out; greedy == continuation), reference:
+    src/models/_llava_hf.py:169-260.
+    """
+    x, _ = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
+    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
+    logits = jnp.einsum(
+        "blh,hv->blv", x.astype(jnp.float32), head_w.astype(jnp.float32)
+    )
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    target_logprobs = jnp.take_along_axis(logprobs, target_ids[..., None], axis=-1)[..., 0]
+    maskf = target_mask.astype(jnp.float32)
+    loss = -jnp.sum(target_logprobs * maskf, axis=-1) / jnp.maximum(jnp.sum(maskf, axis=-1), 1)
+    greedy = jnp.argmax(logits, axis=-1)
+    is_greedy = jnp.all(
+        jnp.where(target_mask.astype(bool), greedy == target_ids, True), axis=-1
+    )
+    return loss, is_greedy
+
+
 @functools.partial(jax.jit, static_argnames=("config", "cache_len"))
 def prefill(
     params: dict,
@@ -599,19 +651,7 @@ def prefill(
         each [num_layers, B, Hkv, cache_len, D]).
     """
     b, l, _ = input_embeds.shape
-    cos, sin = mrope_cos_sin(position_ids, config)  # [B, L, hd/2]
-
-    def layer_fn(x, layer):
-        attn_out, (k, v) = _attention_block(
-            layer, rms_norm(layer["input_ln"], x, config.rms_norm_eps), cos, sin, config,
-            kv_mask=attention_mask, causal=True,
-        )
-        x = x + attn_out
-        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
-        return x, (k, v)
-
-    x, (ks, vs) = jax.lax.scan(layer_fn, input_embeds, params["layers"])
-    x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
+    x, (ks, vs) = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
 
     last = x[:, -1, :]  # left-padded: last position is the newest token
     head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
