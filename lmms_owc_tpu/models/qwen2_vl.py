@@ -72,6 +72,30 @@ SPECIAL_IDS = {
 PATCH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
 
 
+def _fused_assemble(table, ids, flat, imap):
+    import jax.numpy as jnp
+
+    tok = jnp.take(table, ids, axis=0)
+    gathered = jnp.take(flat, jnp.maximum(imap, 0), axis=0)
+    return jnp.where((imap >= 0)[..., None], gathered.astype(tok.dtype), tok)
+
+
+_fused_assemble_jit = None
+
+
+def _assemble_embeds(embed_table, input_ids, vision_flat, index_map):
+    """Token embeddings with vision tokens gathered in (single fused program)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _fused_assemble_jit
+    if vision_flat is None:
+        return jnp.take(embed_table, input_ids, axis=0)
+    if _fused_assemble_jit is None:
+        _fused_assemble_jit = jax.jit(_fused_assemble)
+    return _fused_assemble_jit(embed_table, input_ids, vision_flat, index_map)
+
+
 class _FallbackTokenizer:
     """Deterministic hash tokenizer for random-init benchmarking (no checkpoint).
 
@@ -227,46 +251,83 @@ class Qwen2VL(Model):
     def tokenizer_name(self) -> str:
         return f"qwen2_vl_{self.preset}"
 
-    def _encode_images(self, visuals: list) -> tuple[list[np.ndarray], list[tuple[int, int, int]]]:
-        """Vision tower over each image, padded to patch-count buckets."""
+    def _encode_images_flat(self, all_visuals: list):
+        """Encode every image across a macro batch with minimal host<->device traffic.
+
+        Flow: host PIL resize -> group by resized size -> ONE device program per size
+        group (fused patchify -> pad-to-bucket -> batched vision tower) -> flatten all
+        groups into a single device array of merged vision tokens.
+
+        Returns (vision_flat [K, hidden] device array or None, per-image
+        (flat_offset, token_count), grids).
+        """
         import jax.numpy as jnp
 
         from lmms_owc_tpu.nn import qwen2_vl as qvl
-        from lmms_owc_tpu.ops.image import preprocess_image
+        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host
 
-        embeds, grids = [], []
-        for image in visuals:
-            patches, grid = preprocess_image(
-                image,
-                min_pixels=self.min_pixels,
-                max_pixels=self.max_pixels,
-                patch_size=self.config.vision.patch_size,
-                temporal_patch_size=self.config.vision.temporal_patch_size,
-                merge_size=self.config.vision.spatial_merge_size,
-                device_resize=self.device_resize,
-                out_dtype=self.params["vision"]["patch_embed"]["w"].dtype,
-            )
-            num_patches = patches.shape[0]
+        if not all_visuals:
+            return None, [], []
+
+        v = self.config.vision
+        merge_sq = v.spatial_merge_size ** 2
+        factor = v.patch_size * v.spatial_merge_size
+        dtype = self.params["vision"]["patch_embed"]["w"].dtype
+
+        resized: list[tuple[np.ndarray, tuple[int, int]]] = [
+            resize_host(img, self.min_pixels, self.max_pixels, factor) for img in all_visuals
+        ]
+        grids = [(1, hw[0] // v.patch_size, hw[1] // v.patch_size) for _, hw in resized]
+
+        by_size: dict[tuple[int, int], list[int]] = {}
+        for idx, (_, hw) in enumerate(resized):
+            by_size.setdefault(hw, []).append(idx)
+
+        group_outputs: list = []
+        spans: dict[int, tuple[int, int]] = {}  # image idx -> (flat offset, merged count)
+        flat_offset = 0
+        for hw, indices in by_size.items():
+            stacked = np.stack([resized[i][0] for i in indices])  # [n, C, H, W]
+            num_patches = (hw[0] // v.patch_size) * (hw[1] // v.patch_size)
             bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
-            rope_freqs = qvl.vision_rope_cos_sin([grid], self.config.vision)
-            patches_padded = np.zeros((bucket, patches.shape[1]), patches.dtype)
-            patches_padded[:num_patches] = patches
-            freqs_padded = np.zeros((bucket, rope_freqs.shape[1]), np.float32)
-            freqs_padded[:num_patches] = rope_freqs
+            grid = grids[indices[0]]
+
+            patches = patchify_images_batch(
+                jnp.asarray(stacked), v.patch_size, v.temporal_patch_size,
+                v.spatial_merge_size, dtype,
+            )
+            patches = jnp.pad(patches, ((0, 0), (0, bucket - num_patches), (0, 0)))
+            freqs = np.zeros((bucket, v.head_dim // 2), np.float32)
+            freqs[:num_patches] = qvl.vision_rope_cos_sin([grid], v)
             mask = np.zeros(bucket, np.int32)
             mask[:num_patches] = 1
-
-            out = qvl.vision_encode(
+            n = len(indices)
+            out = qvl.vision_encode_batch(
                 self.params["vision"],
-                jnp.asarray(patches_padded),
-                jnp.asarray(freqs_padded),
-                jnp.asarray(mask),
-                self.config.vision,
-            )
-            merge_sq = self.config.vision.spatial_merge_size ** 2
-            embeds.append(np.asarray(out[: num_patches // merge_sq]))
-            grids.append(grid)
-        return embeds, grids
+                patches,
+                jnp.broadcast_to(jnp.asarray(freqs)[None], (n, bucket, freqs.shape[1])),
+                jnp.broadcast_to(jnp.asarray(mask)[None], (n, bucket)),
+                v,
+            )  # [n, bucket/merge_sq, hidden]
+            merged_bucket = bucket // merge_sq
+            group_outputs.append(out.reshape(n * merged_bucket, -1))
+            for row, idx in enumerate(indices):
+                spans[idx] = (flat_offset + row * merged_bucket, num_patches // merge_sq)
+            flat_offset += n * merged_bucket
+
+        vision_flat = (
+            group_outputs[0] if len(group_outputs) == 1 else jnp.concatenate(group_outputs)
+        )
+        ordered_spans = [spans[i] for i in range(len(all_visuals))]
+        return vision_flat, ordered_spans, grids
+
+    def _encode_images(self, visuals: list):
+        """Compatibility wrapper: per-image merged embeddings as host arrays."""
+        vision_flat, spans, grids = self._encode_images_flat(visuals)
+        if vision_flat is None:
+            return [], []
+        flat = np.asarray(vision_flat)
+        return [flat[off : off + count] for off, count in spans], grids
 
     # ------------------------------------------------------------- generation
 
@@ -286,8 +347,13 @@ class Qwen2VL(Model):
                 out.append(tok)
         return out
 
-    def _run_batch(self, batch: list[tuple], gen_kwargs: dict) -> list[str]:
-        """Generate for one macro batch of (token_ids, vision_embeds, grids)."""
+    def _run_batch(self, batch: list[tuple], gen_kwargs: dict, vision_flat=None) -> list[str]:
+        """Generate for one macro batch of (token_ids, vision_spans, grids).
+
+        ``vision_spans`` are (offset, count) windows into ``vision_flat`` (a device
+        array of merged vision tokens); the scatter into the token embeddings is a
+        single fused gather/where program — no per-row device dispatches.
+        """
         import jax
         import jax.numpy as jnp
 
@@ -305,24 +371,29 @@ class Qwen2VL(Model):
 
         input_ids = np.full((bsz, bucket_len), pad_id, np.int64)
         attention_mask = np.zeros((bsz, bucket_len), np.int64)
-        for row, (ids, _, _) in enumerate(batch):
-            input_ids[row, bucket_len - len(ids) :] = ids  # left padding
-            attention_mask[row, bucket_len - len(ids) :] = 1
+        index_map = np.full((bsz, bucket_len), -1, np.int32)
+        for row, (ids, spans, _) in enumerate(batch):
+            offset = bucket_len - len(ids)
+            input_ids[row, offset:] = ids
+            attention_mask[row, offset:] = 1
+            positions = np.where(np.asarray(ids) == self.config.image_token_id)[0]
+            cursor = 0
+            for span_off, span_count in spans:
+                span_positions = positions[cursor : cursor + span_count]
+                index_map[row, offset + span_positions] = span_off + np.arange(span_count)
+                cursor += span_count
 
         all_grids = [g for _, _, grids in batch for g in grids]
         position_ids, next_pos = qvl.get_rope_index(
             input_ids, attention_mask, all_grids, self.config
         )
 
-        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(input_ids), axis=0)
-        for row, (ids, vision_embeds, _) in enumerate(batch):
-            if not vision_embeds:
-                continue
-            row_positions = np.where(input_ids[row] == self.config.image_token_id)[0]
-            stacked = jnp.concatenate([jnp.asarray(e) for e in vision_embeds], axis=0)
-            embeds = embeds.at[row, jnp.asarray(row_positions)].set(
-                stacked.astype(embeds.dtype)
-            )
+        embeds = _assemble_embeds(
+            self.params["embed_tokens"],
+            jnp.asarray(input_ids),
+            vision_flat,
+            jnp.asarray(index_map) if vision_flat is not None else None,
+        )
 
         cache_len = bucket_len + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
         self._rng, subkey = jax.random.split(self._rng)
@@ -362,22 +433,43 @@ class Qwen2VL(Model):
                     text = text.split(stop)[0]
         return text
 
-    def _prepare_request(self, args: tuple) -> tuple[list[int], list, list]:
-        """(ctx, gen_kwargs, doc_to_visual, doc_id, task, split) -> packed inputs."""
-        ctx, _gen_kwargs, doc_to_visual, doc_id, task_name, split = args
+    def _fetch_visuals(self, args: tuple) -> list:
+        ctx, _gen_kwargs, doc_to_visual, doc_id, task_name, split = args[:6]
         task = self.task_dict.get(task_name)
         if isinstance(task, tuple):
             task = task[1]
-        visuals = []
-        if task is not None and doc_to_visual is not None:
-            doc = task.dataset[split][doc_id]
-            visuals = doc_to_visual(doc) or []
-        vision_embeds, grids = self._encode_images(visuals)
+        if task is None or doc_to_visual is None:
+            return []
+        return doc_to_visual(task.dataset[split][doc_id]) or []
+
+    def _prepare_requests_batch(self, chunk: list[tuple]) -> tuple[list[tuple], object]:
+        """Prepare a whole macro batch: one batched vision-tower pass over every
+        image in the chunk (grouped by resized size), then per-request tokenization.
+
+        Returns (rows, vision_flat) where each row is (token_ids, vision_spans,
+        grids) and vision_spans are (offset, count) windows into vision_flat.
+        """
+        all_visuals: list = []
+        counts: list[int] = []
+        for args in chunk:
+            visuals = self._fetch_visuals(args)
+            counts.append(len(visuals))
+            all_visuals.extend(visuals)
+
+        vision_flat, spans, flat_grids = self._encode_images_flat(all_visuals)
+
         merge_sq = self.config.vision.spatial_merge_size ** 2
-        token_counts = [(g[0] * g[1] * g[2]) // merge_sq for g in grids]
-        prompt = self._build_prompt(ctx, len(visuals))
-        ids = self._tokenize_with_images(prompt, token_counts)
-        return ids, vision_embeds, grids
+        rows = []
+        offset = 0
+        for args, n_images in zip(chunk, counts):
+            row_spans = spans[offset : offset + n_images]
+            grids = flat_grids[offset : offset + n_images]
+            offset += n_images
+            token_counts = [(g[0] * g[1] * g[2]) // merge_sq for g in grids]
+            prompt = self._build_prompt(args[0], n_images)
+            ids = self._tokenize_with_images(prompt, token_counts)
+            rows.append((ids, row_spans, grids))
+        return rows, vision_flat
 
     def generate_until(self, requests) -> list[str]:
         collator = Collator(
@@ -392,8 +484,8 @@ class Qwen2VL(Model):
             until = gen_kwargs.get("until") or []
             if isinstance(until, str):
                 until = [until]
-            batch = [self._prepare_request(args) for args in chunk]
-            texts = self._run_batch(batch, gen_kwargs)
+            rows, vision_flat = self._prepare_requests_batch(chunk)
+            texts = self._run_batch(rows, gen_kwargs, vision_flat)
             results.extend(self._trim_until(t, until).strip() for t in texts)
         return collator.get_original(results)
 
@@ -429,10 +521,10 @@ class Qwen2VL(Model):
                     _visual, prompt_ctx, terminal, _prev, last_round_info = out
                     if terminal:
                         break
-                ids, vision_embeds, grids = self._prepare_request(
-                    (prompt_ctx, gen_kwargs, doc_to_visual, doc_id, task_name, split)
+                rows, vision_flat = self._prepare_requests_batch(
+                    [(prompt_ctx, gen_kwargs, doc_to_visual, doc_id, task_name, split)]
                 )
-                text = self._run_batch([(ids, vision_embeds, grids)], dict(gen_kwargs or {}))[0]
+                text = self._run_batch(rows, dict(gen_kwargs or {}), vision_flat)[0]
                 rounds.append(self._trim_until(text, until).strip())
                 round_idx += 1
                 if round_idx > 16:

@@ -47,7 +47,8 @@ class LlamaConfig:
     intermediate_size: int = 8192
     rms_norm_eps: float = 1e-5
     rope_theta: float = 500000.0
-    rope_scaling: dict | None = None
+    # Frozen (key, value) pairs so the config stays hashable for jit static args.
+    rope_scaling: tuple | None = None
     max_position_embeddings: int = 131072
     tie_word_embeddings: bool = True
     eos_token_id: int = 128009
@@ -59,13 +60,15 @@ class LlamaConfig:
         hd2 = (self.hidden_size // self.num_heads) // 2
         third = hd2 // 3
         rope_llama3 = None
-        if self.rope_scaling and self.rope_scaling.get("rope_type", self.rope_scaling.get("type")) == "llama3":
-            rope_llama3 = (
-                self.rope_scaling["factor"],
-                self.rope_scaling["low_freq_factor"],
-                self.rope_scaling["high_freq_factor"],
-                self.rope_scaling["original_max_position_embeddings"],
-            )
+        if self.rope_scaling:
+            scaling = dict(self.rope_scaling)
+            if scaling.get("rope_type", scaling.get("type")) == "llama3":
+                rope_llama3 = (
+                    scaling["factor"],
+                    scaling["low_freq_factor"],
+                    scaling["high_freq_factor"],
+                    scaling["original_max_position_embeddings"],
+                )
         return Qwen2VLConfig(
             rope_llama3=rope_llama3,
             vocab_size=self.vocab_size,
@@ -84,6 +87,15 @@ class LlamaConfig:
         )
 
 
+def _freeze_dict(d: dict | None) -> tuple | None:
+    """Dict -> hashable (key, value) tuple with list values frozen to tuples."""
+    if not d:
+        return None
+    return tuple(
+        (k, tuple(v) if isinstance(v, list) else v) for k, v in sorted(d.items())
+    )
+
+
 def llama_config_from_hf(cfg: dict) -> LlamaConfig:
     eos = cfg.get("eos_token_id", 128009)
     return LlamaConfig(
@@ -95,7 +107,7 @@ def llama_config_from_hf(cfg: dict) -> LlamaConfig:
         intermediate_size=cfg["intermediate_size"],
         rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
         rope_theta=cfg.get("rope_theta", 500000.0),
-        rope_scaling=cfg.get("rope_scaling"),
+        rope_scaling=_freeze_dict(cfg.get("rope_scaling")),
         max_position_embeddings=cfg.get("max_position_embeddings", 131072),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         eos_token_id=eos[0] if isinstance(eos, list) else eos,

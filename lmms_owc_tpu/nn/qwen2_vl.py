@@ -51,6 +51,7 @@ __all__ = [
     "prefill",
     "score_continuation",
     "vision_encode",
+    "vision_encode_batch",
     "vision_rope_cos_sin",
     "get_rope_index",
 ]
@@ -406,42 +407,46 @@ def vision_rope_cos_sin(grid_thw: list[tuple[int, int, int]], config: Qwen2VLVis
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def vision_encode(
+def vision_encode_batch(
     params: dict,
     patches: jax.Array,
     rope_freqs: jax.Array,
     patch_mask: jax.Array,
     config: Qwen2VLVisionConfig,
 ) -> jax.Array:
-    """Vision tower over one image's packed (padded) patches.
+    """Vision tower over a batch of images' packed (padded) patches.
+
+    Images never attend across each other (full attention is per image, reference
+    cu_seqlens semantics), so a batch of independently padded images is exact.
 
     Args:
-        patches: [P, patch_dim] flattened conv patches (P padded to a bucket).
-        rope_freqs: [P, head_dim/2] from :func:`vision_rope_cos_sin` (zero at padding).
-        patch_mask: [P] 1 = real patch.
-    Returns: [P/merge^2, hidden_size] merged vision embeddings (padding rows garbage).
+        patches: [N, P, patch_dim] flattened conv patches (P padded to a bucket).
+        rope_freqs: [N, P, head_dim/2] from :func:`vision_rope_cos_sin` (zero at padding).
+        patch_mask: [N, P] 1 = real patch.
+    Returns: [N, P/merge^2, hidden_size] merged vision embeddings (padding rows garbage).
     """
     act = _VISION_ACTS[config.hidden_act]
     param_dtype = params["patch_embed"]["w"].dtype
-    x = jnp.dot(
-        patches.astype(param_dtype), params["patch_embed"]["w"], preferred_element_type=param_dtype
+    x = jnp.einsum(
+        "npd,de->npe", patches.astype(param_dtype), params["patch_embed"]["w"],
+        preferred_element_type=param_dtype,
     )
 
-    cos = jnp.cos(rope_freqs)[None, None, :, :]  # [1, 1, P, hd/2]
-    sin = jnp.sin(rope_freqs)[None, None, :, :]
-    P = x.shape[0]
+    cos = jnp.cos(rope_freqs)[:, None, :, :]  # [N, 1, P, hd/2] -> broadcast over heads
+    sin = jnp.sin(rope_freqs)[:, None, :, :]
+    n, P, _ = x.shape
     nh, hd = config.num_heads, config.head_dim
 
     def block(x, layer):
         normed = layer_norm(layer["norm1"], x, eps=1e-6)
-        qkv = dense(layer["qkv"], normed).reshape(P, 3, nh, hd)
-        q = qkv[:, 0].transpose(1, 0, 2)[None]  # [1, nh, P, hd]
-        k = qkv[:, 1].transpose(1, 0, 2)[None]
-        v = qkv[:, 2].transpose(1, 0, 2)[None]
-        q = apply_rope(q, cos[0], sin[0])
-        k = apply_rope(k, cos[0], sin[0])
-        attn = flash_attention(q, k, v, kv_mask=patch_mask[None, :])
-        attn = attn[0].transpose(1, 0, 2).reshape(P, nh * hd)
+        qkv = dense(layer["qkv"], normed).reshape(n, P, 3, nh, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [N, nh, P, hd]
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos[:, 0], sin[:, 0])
+        k = apply_rope(k, cos[:, 0], sin[:, 0])
+        attn = flash_attention(q, k, v, kv_mask=patch_mask)
+        attn = attn.transpose(0, 2, 1, 3).reshape(n, P, nh * hd)
         x = x + dense(layer["proj"], attn)
         normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
         x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
@@ -451,9 +456,23 @@ def vision_encode(
 
     # Patch merger: LN then merge spatial_merge_size^2 neighbors -> MLP.
     merged_dim = config.embed_dim * config.spatial_merge_size**2
-    x = layer_norm(params["merger"]["ln_q"], x, eps=1e-6).reshape(-1, merged_dim)
+    x = layer_norm(params["merger"]["ln_q"], x, eps=1e-6).reshape(n, -1, merged_dim)
     x = dense(params["merger"]["fc2"], gelu(dense(params["merger"]["fc1"], x)))
     return x
+
+
+def vision_encode(
+    params: dict,
+    patches: jax.Array,
+    rope_freqs: jax.Array,
+    patch_mask: jax.Array,
+    config: Qwen2VLVisionConfig,
+) -> jax.Array:
+    """Single-image convenience wrapper over :func:`vision_encode_batch`."""
+    out = vision_encode_batch(
+        params, patches[None], rope_freqs[None], patch_mask[None], config
+    )
+    return out[0]
 
 
 # =============================================================== M-RoPE utils

@@ -23,7 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["smart_resize", "normalize_and_patchify", "preprocess_image", "OPENAI_CLIP_MEAN", "OPENAI_CLIP_STD"]
+__all__ = [
+    "OPENAI_CLIP_MEAN",
+    "OPENAI_CLIP_STD",
+    "normalize_and_patchify",
+    "patchify_images_batch",
+    "preprocess_image",
+    "resize_host",
+    "smart_resize",
+]
 
 OPENAI_CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
@@ -83,6 +91,57 @@ def normalize_and_patchify(
     )
     x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
     return x.reshape(grid_t * grid_h * grid_w, c * temporal_patch_size * patch_size**2).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("patch_size", "temporal_patch_size", "merge_size", "out_dtype")
+)
+def patchify_images_batch(
+    pixels_u8: jax.Array,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """uint8 [N, C, H, W] still images -> packed patches [N, grid_h*grid_w, C*t*p*p].
+
+    One fused device program for a whole same-size batch: the temporal repeat,
+    rescale, normalize, and 9D transpose never touch the host.
+    """
+    n, c, h, w = pixels_u8.shape
+    frames = jnp.broadcast_to(
+        pixels_u8[:, None], (n, temporal_patch_size, c, h, w)
+    )
+    mean = jnp.asarray(OPENAI_CLIP_MEAN, jnp.float32).reshape(1, 1, c, 1, 1)
+    std = jnp.asarray(OPENAI_CLIP_STD, jnp.float32).reshape(1, 1, c, 1, 1)
+    x = (frames.astype(jnp.float32) / 255.0 - mean) / std
+
+    grid_h, grid_w = h // patch_size, w // patch_size
+    x = x.reshape(
+        n, temporal_patch_size, c,
+        grid_h // merge_size, merge_size, patch_size,
+        grid_w // merge_size, merge_size, patch_size,
+    )
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    return x.reshape(n, grid_h * grid_w, c * temporal_patch_size * patch_size**2).astype(out_dtype)
+
+
+def resize_host(
+    image,
+    min_pixels: int = 4 * 28 * 28,
+    max_pixels: int = 1024 * 28 * 28,
+    factor: int = 28,
+) -> tuple[np.ndarray, tuple[int, int]]:
+    """Host-side PIL bicubic smart-resize -> (uint8 [C, H, W], (H, W))."""
+    from PIL import Image
+
+    image = image.convert("RGB")
+    width, height = image.size
+    resized_h, resized_w = smart_resize(
+        height, width, factor=factor, min_pixels=min_pixels, max_pixels=max_pixels
+    )
+    resized = image.resize((resized_w, resized_h), Image.BICUBIC)
+    return np.asarray(resized).transpose(2, 0, 1), (resized_h, resized_w)
 
 
 def preprocess_image(
