@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -126,13 +127,40 @@ def patchify_images_batch(
     return x.reshape(n, grid_h * grid_w, c * temporal_patch_size * patch_size**2).astype(out_dtype)
 
 
+_NATIVE_LOADER = None
+_NATIVE_DISABLED = os.environ.get("LMMS_OWC_NATIVE_LOADER", "1") == "0"
+
+
+def _get_native_loader():
+    """Lazily build/load the C++ decode+resize library (None if unavailable)."""
+    global _NATIVE_LOADER, _NATIVE_DISABLED
+    if _NATIVE_DISABLED:
+        return None
+    if _NATIVE_LOADER is None:
+        try:
+            from lmms_owc_tpu.native import NativeImageLoader, native_loader_available
+
+            if native_loader_available():
+                _NATIVE_LOADER = NativeImageLoader()
+            else:
+                _NATIVE_DISABLED = True
+        except Exception:
+            _NATIVE_DISABLED = True
+    return _NATIVE_LOADER
+
+
 def resize_host(
     image,
     min_pixels: int = 4 * 28 * 28,
     max_pixels: int = 1024 * 28 * 28,
     factor: int = 28,
 ) -> tuple[np.ndarray, tuple[int, int]]:
-    """Host-side PIL bicubic smart-resize -> (uint8 [C, H, W], (H, W))."""
+    """Host-side bicubic smart-resize -> (uint8 [C, H, W], (H, W)).
+
+    Uses the native C++ resizer when available (GIL-releasing, PIL-convention
+    weights, within +-2 uint8 levels of PIL); set LMMS_OWC_NATIVE_LOADER=0 to force
+    the exact PIL path.
+    """
     from PIL import Image
 
     image = image.convert("RGB")
@@ -140,6 +168,10 @@ def resize_host(
     resized_h, resized_w = smart_resize(
         height, width, factor=factor, min_pixels=min_pixels, max_pixels=max_pixels
     )
+    loader = _get_native_loader()
+    if loader is not None:
+        chw = loader.resize_u8(np.asarray(image), resized_h, resized_w)
+        return chw, (resized_h, resized_w)
     resized = image.resize((resized_w, resized_h), Image.BICUBIC)
     return np.asarray(resized).transpose(2, 0, 1), (resized_h, resized_w)
 
