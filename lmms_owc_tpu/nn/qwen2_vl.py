@@ -250,7 +250,9 @@ def convert_hf_decoder_weights(
     """
 
     def find(name: str):
-        for prefix in ("", "model.", "model.language_model.", "language_model."):
+        for prefix in (
+            "", "model.", "model.language_model.", "language_model.", "language_model.model.",
+        ):
             if prefix + name in state:
                 return state[prefix + name]
         raise KeyError(f"tensor {name!r} not found (available sample: {list(state)[:5]})")
