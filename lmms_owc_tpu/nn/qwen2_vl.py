@@ -251,7 +251,8 @@ def convert_hf_decoder_weights(
 
     def find(name: str):
         for prefix in (
-            "", "model.", "model.language_model.", "language_model.", "language_model.model.",
+            "", "model.", "model.language_model.", "language_model.",
+            "language_model.model.", "model.text_model.",
         ):
             if prefix + name in state:
                 return state[prefix + name]
