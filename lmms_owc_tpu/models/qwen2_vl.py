@@ -43,6 +43,24 @@ PRESET_CONFIGS = {
         vocab_size=152064, hidden_size=3584, num_hidden_layers=28, num_attention_heads=28,
         num_key_value_heads=4, intermediate_size=18944, tie_word_embeddings=False,
     ),
+    "qwen2.5-vl-3b": dict(
+        model_type="qwen2_5_vl",
+        vocab_size=151936, hidden_size=2048, num_hidden_layers=36, num_attention_heads=16,
+        num_key_value_heads=2, intermediate_size=11008, tie_word_embeddings=True,
+        vision_config=dict(
+            depth=32, hidden_size=1280, num_heads=16, intermediate_size=3420,
+            out_hidden_size=2048, window_size=112, fullatt_block_indexes=[7, 15, 23, 31],
+        ),
+    ),
+    "qwen2.5-vl-7b": dict(
+        model_type="qwen2_5_vl",
+        vocab_size=152064, hidden_size=3584, num_hidden_layers=28, num_attention_heads=28,
+        num_key_value_heads=4, intermediate_size=18944, tie_word_embeddings=False,
+        vision_config=dict(
+            depth=32, hidden_size=1280, num_heads=16, intermediate_size=3420,
+            out_hidden_size=3584, window_size=112, fullatt_block_indexes=[7, 15, 23, 31],
+        ),
+    ),
     # CPU-testable miniature (same special-token space, tiny everything else).
     "qwen2-vl-tiny": dict(
         vocab_size=152064, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
@@ -180,11 +198,23 @@ class Qwen2VL(Model):
             self.dtype
         ]
 
+        from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
+
         if self.pretrained is not None and Path(self.pretrained).exists():
             hf_cfg = load_config_json(self.pretrained)
+            self.is_v25 = hf_cfg.get("model_type") == "qwen2_5_vl"
             self.config = qvl.Qwen2VLConfig.from_hf_dict(hf_cfg)
             state = load_safetensors_state(self.pretrained)
-            self.params = qvl.convert_hf_weights(state, self.config, dtype)
+            if self.is_v25:
+                self.vision25_config = qvl25.Qwen25VisionConfig.from_hf_dict(
+                    hf_cfg.get("vision_config", {})
+                )
+                self.params = qvl.convert_hf_decoder_weights(state, self.config, dtype)
+                self.params["vision"] = qvl25.convert_hf_vision25_weights(
+                    state, self.vision25_config, dtype
+                )
+            else:
+                self.params = qvl.convert_hf_weights(state, self.config, dtype)
             del state
             from transformers import AutoTokenizer
 
@@ -193,11 +223,23 @@ class Qwen2VL(Model):
         else:
             if not self.random_init:
                 raise FileNotFoundError(f"checkpoint not found: {self.pretrained}")
-            preset = PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["qwen2-vl-2b"])
-            self.config = qvl.Qwen2VLConfig.from_hf_dict(dict(preset))
-            self.params = qvl.init_params(
-                jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
-            )
+            preset = dict(PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["qwen2-vl-2b"]))
+            self.is_v25 = preset.get("model_type") == "qwen2_5_vl"
+            self.config = qvl.Qwen2VLConfig.from_hf_dict(preset)
+            if self.is_v25:
+                self.vision25_config = qvl25.Qwen25VisionConfig.from_hf_dict(
+                    preset.get("vision_config", {})
+                )
+                self.params = qvl.init_decoder_params(
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+                )
+                self.params["vision"] = qvl25.init_vision25_params(
+                    jax.random.PRNGKey(self.jax_random_seed + 1), self.vision25_config, dtype
+                )
+            else:
+                self.params = qvl.init_params(
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+                )
             self.tokenizer = _FallbackTokenizer()
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
 
@@ -268,6 +310,8 @@ class Qwen2VL(Model):
 
         if not all_visuals:
             return None, [], []
+        if getattr(self, "is_v25", False):
+            return self._encode_images_flat_v25(all_visuals)
 
         v = self.config.vision
         merge_sq = v.spatial_merge_size ** 2
@@ -320,6 +364,75 @@ class Qwen2VL(Model):
         )
         ordered_spans = [spans[i] for i in range(len(all_visuals))]
         return vision_flat, ordered_spans, grids
+
+    def _encode_images_flat_v25(self, all_visuals: list):
+        """Qwen2.5-VL vision path: window reorder + block-diagonal window attention."""
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
+        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host
+
+        v25 = self.vision25_config
+        merge_sq = v25.spatial_merge_size ** 2
+        factor = v25.patch_size * v25.spatial_merge_size
+        dtype = self.params["vision"]["patch_embed"]["w"].dtype
+
+        group_outputs: list = []
+        spans: list = []
+        grids: list = []
+        flat_offset = 0
+        for image in all_visuals:
+            chw, (rh, rw) = resize_host(image, self.min_pixels, self.max_pixels, factor)
+            grid = (1, rh // v25.patch_size, rw // v25.patch_size)
+            grids.append(grid)
+            patches = np.asarray(
+                patchify_images_batch(
+                    jnp.asarray(chw[None]), v25.patch_size, v25.temporal_patch_size,
+                    v25.spatial_merge_size, dtype,
+                )
+            )[0]
+            num_patches = patches.shape[0]
+            window_index, window_ids = qvl25.get_window_order(grid, v25)
+            patches = patches.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
+                num_patches, -1
+            )
+            freqs = qvl25.vision25_rope_freqs(grid, v25)
+            freqs = freqs.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
+                num_patches, -1
+            )
+
+            bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
+            patches_p = np.zeros((bucket, patches.shape[1]), patches.dtype)
+            patches_p[:num_patches] = patches
+            freqs_p = np.zeros((bucket, freqs.shape[1]), np.float32)
+            freqs_p[:num_patches] = freqs
+            win_p = np.full(bucket, -1, np.int64)
+            win_p[:num_patches] = window_ids
+            valid = np.zeros(bucket, np.int32)
+            valid[:num_patches] = 1
+            pair_mask = (win_p[:, None] == win_p[None, :]) & (valid[:, None] & valid[None, :]).astype(bool)
+
+            out = qvl25.vision25_encode(
+                self.params["vision"],
+                jnp.asarray(patches_p),
+                jnp.asarray(freqs_p),
+                jnp.asarray(pair_mask),
+                jnp.asarray(valid),
+                v25,
+            )  # [bucket/merge_sq, out_hidden] in window order
+            n_units = num_patches // merge_sq
+            reverse = np.argsort(window_index)
+            restored = out[:n_units][jnp.asarray(reverse)]
+            group_outputs.append(restored)
+            spans.append((flat_offset, n_units))
+            flat_offset += n_units
+
+        import jax.numpy as jnp  # noqa: F811
+
+        vision_flat = (
+            group_outputs[0] if len(group_outputs) == 1 else jnp.concatenate(group_outputs)
+        )
+        return vision_flat, spans, grids
 
     def _encode_images(self, visuals: list):
         """Compatibility wrapper: per-image merged embeddings as host arrays."""
@@ -550,6 +663,20 @@ def qwen2_vl_7b(**kwargs) -> Qwen2VL:
 def qwen2_vl_2b(**kwargs) -> Qwen2VL:
     """Qwen2-VL-2B-Instruct."""
     kwargs.setdefault("preset", "qwen2-vl-2b")
+    return Qwen2VL(**kwargs)
+
+
+@register_model("qwen2.5-vl-7b")
+def qwen2_5_vl_7b(**kwargs) -> Qwen2VL:
+    """Qwen2.5-VL-7B-Instruct (window-attention vision tower)."""
+    kwargs.setdefault("preset", "qwen2.5-vl-7b")
+    return Qwen2VL(**kwargs)
+
+
+@register_model("qwen2.5-vl-3b")
+def qwen2_5_vl_3b(**kwargs) -> Qwen2VL:
+    """Qwen2.5-VL-3B-Instruct."""
+    kwargs.setdefault("preset", "qwen2.5-vl-3b")
     return Qwen2VL(**kwargs)
 
 

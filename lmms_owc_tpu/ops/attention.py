@@ -44,9 +44,14 @@ def attention_reference(
     *,
     causal: bool = False,
     kv_mask: jax.Array | None = None,
+    pair_mask: jax.Array | None = None,
     scale: float | None = None,
 ) -> jax.Array:
-    """Plain jnp attention; the numerical ground truth for the Pallas kernel."""
+    """Plain jnp attention; the numerical ground truth for the Pallas kernel.
+
+    ``pair_mask`` is an optional [Lq, Lk] (or [B, Lq, Lk]) boolean allow-mask used
+    for block-diagonal patterns (e.g. Qwen2.5-VL window attention).
+    """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
@@ -57,6 +62,10 @@ def attention_reference(
         scores = jnp.where(k_idx <= q_idx, scores, _NEG_INF)
     if kv_mask is not None:
         scores = jnp.where(kv_mask[:, None, None, :].astype(bool), scores, _NEG_INF)
+    if pair_mask is not None:
+        if pair_mask.ndim == 2:
+            pair_mask = pair_mask[None]
+        scores = jnp.where(pair_mask[:, None, :, :].astype(bool), scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
 
