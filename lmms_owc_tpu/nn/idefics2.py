@@ -93,9 +93,19 @@ def _gelu_tanh(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=True)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def siglip_vision_forward(params: dict, pixel_values: jax.Array, config: SiglipVisionConfig) -> jax.Array:
-    """SigLIP ViT (no CLS token) -> post-LN hidden states [B, P, E]."""
+@functools.partial(jax.jit, static_argnames=("config", "bucket_positions"))
+def siglip_vision_forward(
+    params: dict,
+    pixel_values: jax.Array,
+    config: SiglipVisionConfig,
+    bucket_positions: bool = True,
+) -> jax.Array:
+    """SigLIP ViT (no CLS token) -> post-LN hidden states [B, P, E].
+
+    ``bucket_positions=True`` reproduces Idefics2's fractional-coordinate bucketing
+    (position id max(i-1, 0) per axis); False uses plain arange positions (the
+    standard SigLIP used by LLaVA-OneVision).
+    """
     b = pixel_values.shape[0]
     p, e = config.patch_size, config.hidden_size
     nh, hd = config.num_heads, config.hidden_size // config.num_heads
@@ -106,13 +116,16 @@ def siglip_vision_forward(params: dict, pixel_values: jax.Array, config: SiglipV
     x = pixel_values.reshape(b, 3, grid_h, p, grid_w, p)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, -1, 3 * p * p)
     x = jnp.dot(x, params["patch_embed"]["w"], preferred_element_type=x.dtype) + params["patch_embed"]["b"]
-    # HF Idefics2VisionEmbeddings buckets fractional coords scaled by (1 - 1e-6),
-    # which lands position id max(i-1, 0) on each axis for full-size images.
-    num_side = int(round(params["position_embedding"].shape[0] ** 0.5))
-    h_ids = np.maximum(np.arange(grid_h) - 1, 0)
-    w_ids = np.maximum(np.arange(grid_w) - 1, 0)
-    pos_ids = (h_ids[:, None] * num_side + w_ids[None, :]).reshape(-1)
-    x = x + jnp.take(params["position_embedding"], jnp.asarray(pos_ids), axis=0)[None].astype(x.dtype)
+    if bucket_positions:
+        # HF Idefics2VisionEmbeddings buckets fractional coords scaled by (1 - 1e-6),
+        # which lands position id max(i-1, 0) on each axis for full-size images.
+        num_side = int(round(params["position_embedding"].shape[0] ** 0.5))
+        h_ids = np.maximum(np.arange(grid_h) - 1, 0)
+        w_ids = np.maximum(np.arange(grid_w) - 1, 0)
+        pos_ids = (h_ids[:, None] * num_side + w_ids[None, :]).reshape(-1)
+        x = x + jnp.take(params["position_embedding"], jnp.asarray(pos_ids), axis=0)[None].astype(x.dtype)
+    else:
+        x = x + params["position_embedding"][None, : x.shape[1], :].astype(x.dtype)
 
     def block(x, layer):
         L = x.shape[1]
