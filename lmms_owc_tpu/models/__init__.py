@@ -16,7 +16,9 @@ from lmms_owc_tpu.models import fake  # noqa: F401  (register fake backend)
 
 # Model-family adapter modules register themselves on import; keep imports lazy-tolerant
 # so a broken optional dependency doesn't take down the registry.
-for _mod in ("qwen2_vl", "llava_hf", "llava_onevision", "internvl2", "instructblip", "idefics2"):
+for _mod in (
+    "qwen2_vl", "llava_hf", "llava_onevision", "internvl2", "instructblip", "idefics2", "phi3v",
+):
     try:
         __import__(f"lmms_owc_tpu.models.{_mod}")
     except ImportError as _err:  # pragma: no cover

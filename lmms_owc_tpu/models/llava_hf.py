@@ -54,6 +54,34 @@ PRESET_CONFIGS = {
         ),
         image_token_index=32000,
     ),
+    "llava-next-vicuna-7b": dict(
+        model_type="llava_next",
+        text_config=dict(
+            model_type="llama", vocab_size=32064, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, image_size=336, patch_size=14,
+        ),
+        image_token_index=32000,
+        image_grid_pinpoints=[[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]],
+    ),
+    "llava-next-mistral-7b": dict(
+        model_type="llava_next",
+        text_config=dict(
+            model_type="mistral", vocab_size=32064, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+            rope_theta=1000000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+            intermediate_size=4096, image_size=336, patch_size=14,
+        ),
+        image_token_index=32000,
+        image_grid_pinpoints=[[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]],
+    ),
     "llava-tiny": dict(
         text_config=dict(
             model_type="llama", vocab_size=32064, hidden_size=64, intermediate_size=128,
@@ -131,9 +159,18 @@ class LlavaHf(Model):
             self.dtype
         ]
         if self.pretrained is not None and Path(self.pretrained).exists():
-            self.config = lv.llava_config_from_hf(load_config_json(self.pretrained))
+            hf_cfg = load_config_json(self.pretrained)
+            self.is_next = hf_cfg.get("model_type") == "llava_next"
+            self.grid_pinpoints = hf_cfg.get("image_grid_pinpoints")
+            self.config = lv.llava_config_from_hf(hf_cfg)
             state = load_safetensors_state(self.pretrained)
             self.params = lv.convert_hf_llava_weights(state, self.config, dtype)
+            if self.is_next and "model.image_newline" in state:
+                import numpy as _np
+
+                self.params["image_newline"] = jnp.asarray(
+                    _np.asarray(state["model.image_newline"]), dtype
+                )
             del state
             from transformers import AutoTokenizer
 
@@ -142,11 +179,15 @@ class LlavaHf(Model):
         else:
             if not self.random_init:
                 raise FileNotFoundError(f"checkpoint not found: {self.pretrained}")
-            preset = PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["llava-1.5-7b"])
-            self.config = lv.llava_config_from_hf(dict(preset))
+            preset = dict(PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["llava-1.5-7b"]))
+            self.is_next = preset.get("model_type") == "llava_next"
+            self.grid_pinpoints = preset.get("image_grid_pinpoints")
+            self.config = lv.llava_config_from_hf(preset)
             self.params = lv.init_llava_params(
                 jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
             )
+            if self.is_next:
+                self.params["image_newline"] = jnp.zeros(self.config.text.hidden_size, dtype)
             self.tokenizer = _FallbackLlavaTokenizer(self.config.image_token_id)
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
 
@@ -190,6 +231,8 @@ class LlavaHf(Model):
 
     def _build_prompt(self, context: str, num_images: int) -> str:
         image_tokens = "<image>\n" * num_images
+        if "mistral" in self.preset:
+            return f"[INST] {image_tokens}{context} [/INST]"
         return f"USER: {image_tokens}{context} ASSISTANT:"
 
     # ------------------------------------------------------------ preprocessing
@@ -217,21 +260,83 @@ class LlavaHf(Model):
             arrays.append(arr.transpose(2, 0, 1))
         return np.stack(arrays)
 
-    def _embed_sequence(self, input_ids: np.ndarray, pixel_values: np.ndarray | None):
-        """Token embeddings with projected image features scattered into <image> slots."""
+    def _embed_sequence(self, input_ids: np.ndarray, payloads: list):
+        """Token embeddings with vision features scattered into <image> slots.
+
+        ``payloads[row]`` is either a pixel array [N, 3, S, S] (llava-1.5: fixed
+        image_seq_length per image), a ("features", [tokens, H]) tuple (llava-next
+        anyres packing), or None.
+        """
         import jax.numpy as jnp
 
+        from lmms_owc_tpu.models.qwen2_vl import _assemble_embeds
         from lmms_owc_tpu.nn import llava as lv
 
-        embeds = jnp.take(self.params["text"]["embed_tokens"], jnp.asarray(input_ids), axis=0)
-        if pixel_values is None:
-            return embeds
-        vision = lv.encode_images(
-            self.params, jnp.asarray(pixel_values, embeds.dtype), self.config
-        )  # [N, S, H]
-        flat = vision.reshape(-1, vision.shape[-1])
-        rows, cols = np.where(input_ids == self.config.image_token_id)
-        return embeds.at[jnp.asarray(rows), jnp.asarray(cols)].set(flat.astype(embeds.dtype))
+        feature_rows: list[np.ndarray] = []
+        bsz, bucket = input_ids.shape
+        index_map = np.full((bsz, bucket), -1, np.int32)
+        cursor = 0
+        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        for row, payload in enumerate(payloads):
+            if payload is None:
+                continue
+            if isinstance(payload, tuple) and payload[0] == "features":
+                feats = payload[1]
+            else:
+                vision = lv.encode_images(
+                    self.params, jnp.asarray(payload, param_dtype), self.config
+                )
+                feats = np.asarray(vision.reshape(-1, vision.shape[-1]), np.float32)
+            if feats is None:
+                continue
+            positions = np.where(input_ids[row] == self.config.image_token_id)[0]
+            index_map[row, positions] = cursor + np.arange(len(positions))
+            cursor += feats.shape[0]
+            feature_rows.append(feats)
+
+        vision_flat = (
+            jnp.asarray(np.concatenate(feature_rows), param_dtype) if feature_rows else None
+        )
+        return _assemble_embeds(
+            self.params["text"]["embed_tokens"],
+            jnp.asarray(input_ids),
+            vision_flat,
+            jnp.asarray(index_map) if vision_flat is not None else None,
+        )
+
+    def _encode_anyres_image(self, image) -> np.ndarray:
+        """LLaVA-NeXT path: anyres tiles -> CLIP -> projector -> packed [tokens, H]."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from lmms_owc_tpu.nn import anyres
+        from lmms_owc_tpu.nn import llava as lv
+        from lmms_owc_tpu.ops.image import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+        image = image.convert("RGB")
+        size = self.config.vision.image_size
+        orig_w, orig_h = image.size
+        pinpoints = self.grid_pinpoints or anyres.default_grid_pinpoints(size, 3)
+        best = anyres.select_best_resolution((orig_h, orig_w), pinpoints)
+        padded = anyres.resize_and_pad(image, best)
+        tiles = [image.resize((size, size), Image.BICUBIC)] + anyres.divide_to_patches(padded, size)
+        arrays = []
+        for tile in tiles:
+            arr = np.asarray(tile).astype(np.float32) / 255.0
+            arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
+            arrays.append(arr.transpose(2, 0, 1))
+        pixels = np.stack(arrays)
+        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        feats = lv.encode_images(self.params, jnp.asarray(pixels, param_dtype), self.config)
+        return anyres.pack_anyres_features(
+            np.asarray(feats, np.float32),
+            (orig_h, orig_w),
+            pinpoints,
+            size,
+            self.config.vision.patch_size,
+            np.asarray(self.params["image_newline"], np.float32),
+            max_patches=None,  # llava-next does not downscale
+        )
 
     def _prepare_request(self, ctx, doc_to_visual, doc_id, task_name, split):
         task = self.task_dict.get(task_name)
@@ -243,8 +348,21 @@ class LlavaHf(Model):
             visuals = doc_to_visual(doc) or []
         prompt = self._build_prompt(ctx, len(visuals))
         ids = self.tokenizer.encode(prompt)
+
+        if getattr(self, "is_next", False) and visuals:
+            features = [self._encode_anyres_image(img) for img in visuals]
+            expanded: list[int] = []
+            img_idx = 0
+            for tok in ids:
+                if tok == self.config.image_token_id:
+                    expanded.extend([tok] * features[img_idx].shape[0])
+                    img_idx += 1
+                else:
+                    expanded.append(tok)
+            return expanded, ("features", np.concatenate(features) if features else None)
+
         # Expand each single <image> token to image_seq_length positions.
-        expanded: list[int] = []
+        expanded = []
         for tok in ids:
             if tok == self.config.image_token_id:
                 expanded.extend([tok] * self.config.image_seq_length)
@@ -283,15 +401,13 @@ class LlavaHf(Model):
             pad_id = self.config.pad_token_id
             input_ids = np.full((bsz, bucket), pad_id, np.int64)
             mask = np.zeros((bsz, bucket), np.int64)
-            pixel_list = []
-            for row, (ids, pixels) in enumerate(prepared):
+            payloads = []
+            for row, (ids, payload) in enumerate(prepared):
                 input_ids[row, bucket - len(ids) :] = ids
                 mask[row, bucket - len(ids) :] = 1
-                if pixels is not None:
-                    pixel_list.append(pixels)
-            pixels = np.concatenate(pixel_list) if pixel_list else None
+                payloads.append(payload)
 
-            embeds = self._embed_sequence(input_ids, pixels)
+            embeds = self._embed_sequence(input_ids, payloads)
             position_ids, next_pos = L.llama_positions(mask)
             self._rng, subkey = jax.random.split(self._rng)
             tokens = L.greedy_generate(
@@ -353,11 +469,11 @@ class LlavaHf(Model):
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
                 full_ids = self.tokenizer.encode(prompt + " " + str(continuation))
-                expanded_ctx, pixels = self._prepare_request(
+                expanded_ctx, payload = self._prepare_request(
                     ctx, doc_to_visual, doc_id, task_name, split
                 )
                 cont_ids = full_ids[len(ctx_ids) :]
-                rows.append((expanded_ctx + cont_ids, len(cont_ids), pixels))
+                rows.append((expanded_ctx + cont_ids, len(cont_ids), payload))
 
             bucket = pad_to_bucket(max(len(ids) for ids, _, _ in rows))
             pad_id = self.config.pad_token_id
@@ -366,8 +482,8 @@ class LlavaHf(Model):
             mask = np.zeros((bsz, bucket), np.int64)
             target_ids = np.zeros((bsz, bucket), np.int64)
             target_mask = np.zeros((bsz, bucket), np.int64)
-            pixel_list = []
-            for row, (ids, n_cont, pixels) in enumerate(rows):
+            payloads = []
+            for row, (ids, n_cont, payload) in enumerate(rows):
                 offset = bucket - len(ids)
                 input_ids[row, offset:] = ids
                 mask[row, offset:] = 1
@@ -375,11 +491,9 @@ class LlavaHf(Model):
                 # last n_cont prediction slots.
                 target_ids[row, offset : bucket - 1] = ids[1:]
                 target_mask[row, bucket - 1 - n_cont : bucket - 1] = 1
-                if pixels is not None:
-                    pixel_list.append(pixels)
-            pixels = np.concatenate(pixel_list) if pixel_list else None
+                payloads.append(payload)
 
-            embeds = self._embed_sequence(input_ids, pixels)
+            embeds = self._embed_sequence(input_ids, payloads)
             position_ids, _ = L.llama_positions(mask)
             loss, is_greedy = L.score_continuation(
                 self.params["text"],
@@ -407,6 +521,20 @@ def llava_15_7b(**kwargs) -> LlavaHf:
 def llava_15_13b(**kwargs) -> LlavaHf:
     """llava-hf/llava-1.5-13b-hf."""
     kwargs.setdefault("preset", "llava-1.5-13b")
+    return LlavaHf(**kwargs)
+
+
+@register_model("llava-next-vicuna-7b")
+def llava_next_vicuna_7b(**kwargs) -> LlavaHf:
+    """llava-hf/llava-v1.6-vicuna-7b-hf (anyres tiling)."""
+    kwargs.setdefault("preset", "llava-next-vicuna-7b")
+    return LlavaHf(**kwargs)
+
+
+@register_model("llava-next-mistral-7b")
+def llava_next_mistral_7b(**kwargs) -> LlavaHf:
+    """llava-hf/llava-v1.6-mistral-7b-hf (anyres tiling, [INST] prompt format)."""
+    kwargs.setdefault("preset", "llava-next-mistral-7b")
     return LlavaHf(**kwargs)
 
 

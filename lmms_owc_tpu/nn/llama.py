@@ -50,6 +50,7 @@ class LlamaConfig:
     # Frozen (key, value) pairs so the config stays hashable for jit static args.
     rope_scaling: tuple | None = None
     max_position_embeddings: int = 131072
+    original_max_position_embeddings: int | None = None
     tie_word_embeddings: bool = True
     eos_token_id: int = 128009
     pad_token_id: int = 128004
@@ -60,17 +61,34 @@ class LlamaConfig:
         hd2 = (self.hidden_size // self.num_heads) // 2
         third = hd2 // 3
         rope_llama3 = None
+        rope_longrope = None
         if self.rope_scaling:
             scaling = dict(self.rope_scaling)
-            if scaling.get("rope_type", scaling.get("type")) == "llama3":
+            rope_type = scaling.get("rope_type", scaling.get("type"))
+            if rope_type == "llama3":
                 rope_llama3 = (
                     scaling["factor"],
                     scaling["low_freq_factor"],
                     scaling["high_freq_factor"],
                     scaling["original_max_position_embeddings"],
                 )
+            elif rope_type == "longrope":
+                # Phi-3: short factors for eval-scale contexts; attention factor is
+                # sqrt(1 + log(scale)/log(original_max)) per HF _compute_longrope_parameters.
+                import math as _math
+
+                original_max = scaling.get(
+                    "original_max_position_embeddings",
+                    self.original_max_position_embeddings or self.max_position_embeddings,
+                )
+                factor = self.max_position_embeddings / original_max
+                attention_factor = (
+                    1.0 if factor <= 1.0 else _math.sqrt(1 + _math.log(factor) / _math.log(original_max))
+                )
+                rope_longrope = (attention_factor, tuple(scaling["short_factor"]))
         return Qwen2VLConfig(
             rope_llama3=rope_llama3,
+            rope_longrope=rope_longrope,
             vocab_size=self.vocab_size,
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
@@ -109,6 +127,7 @@ def llama_config_from_hf(cfg: dict) -> LlamaConfig:
         rope_theta=cfg.get("rope_theta", 500000.0),
         rope_scaling=_freeze_dict(cfg.get("rope_scaling")),
         max_position_embeddings=cfg.get("max_position_embeddings", 131072),
+        original_max_position_embeddings=cfg.get("original_max_position_embeddings"),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         eos_token_id=eos[0] if isinstance(eos, list) else eos,
         pad_token_id=cfg.get("pad_token_id") or 0,

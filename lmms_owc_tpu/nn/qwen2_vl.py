@@ -103,6 +103,8 @@ class Qwen2VLConfig:
     # Llama3-style RoPE frequency scaling: (factor, low_freq_factor, high_freq_factor,
     # original_max_position_embeddings), or None for plain RoPE.
     rope_llama3: tuple | None = None
+    # Phi-3 longrope scaling: (attention_factor, per-dim rescale factors tuple).
+    rope_longrope: tuple | None = None
     vision: Qwen2VLVisionConfig = field(default_factory=Qwen2VLVisionConfig)
 
     @property
@@ -556,14 +558,18 @@ def mrope_cos_sin(
     """Combine t/h/w rotary tables into [B, L, head_dim/2] cos/sin (f32)."""
     hd2 = config.head_dim // 2
     inv_freq = 1.0 / (config.rope_theta ** (jnp.arange(0, hd2, dtype=jnp.float32) / hd2))
+    attention_factor = 1.0
     if config.rope_llama3 is not None:
         inv_freq = _llama3_scale_inv_freq(inv_freq, config.rope_llama3)
+    if config.rope_longrope is not None:
+        attention_factor, ext_factors = config.rope_longrope
+        inv_freq = inv_freq / jnp.asarray(ext_factors, jnp.float32)
     # freqs: [3, B, L, hd/2]
     freqs = position_ids[..., None].astype(jnp.float32) * inv_freq[None, None, None, :]
     sections = np.cumsum(np.array(config.mrope_section))[:-1]
     chunks = jnp.split(freqs, sections.tolist(), axis=-1)
     combined = jnp.concatenate([chunk[i % 3] for i, chunk in enumerate(chunks)], axis=-1)
-    return jnp.cos(combined), jnp.sin(combined)
+    return jnp.cos(combined) * attention_factor, jnp.sin(combined) * attention_factor
 
 
 # ===================================================================== decoder

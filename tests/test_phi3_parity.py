@@ -1,0 +1,84 @@
+"""Phi-3 text decoder parity (fused-weight split + longrope) + phi3v adapter smoke."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+
+class TestPhi3TextParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from transformers import Phi3Config, Phi3ForCausalLM
+
+        from lmms_owc_tpu.models.phi3v import split_phi3_fused_weights
+        from lmms_owc_tpu.nn import llama as L
+
+        torch.manual_seed(0)
+        hf_config = Phi3Config(
+            vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            max_position_embeddings=256, original_max_position_embeddings=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5, tie_word_embeddings=False,
+            pad_token_id=0,
+            rope_scaling={
+                "type": "longrope",
+                "short_factor": [1.0 + 0.1 * i for i in range(8)],
+                "long_factor": [2.0] * 8,
+            },
+        )
+        model = Phi3ForCausalLM(hf_config).eval().float()
+        state = split_phi3_fused_weights({k: v.numpy() for k, v in model.state_dict().items()})
+        config = L.llama_config_from_hf(hf_config.to_dict())
+        params = L.convert_hf_llama_weights(state, config, jnp.float32)
+        return model, config, params
+
+    def test_longrope_config(self, setup):
+        _, config, _ = setup
+        dec = config.to_decoder_config()
+        assert dec.rope_longrope is not None
+        attention_factor, factors = dec.rope_longrope
+        assert len(factors) == 8
+        assert attention_factor > 1.0  # max 256 > original 64
+
+    def test_prefill_logits(self, setup):
+        from lmms_owc_tpu.nn import llama as L
+
+        model, config, params = setup
+        rng = np.random.RandomState(0)
+        B, Lseq = 2, 16
+        input_ids = rng.randint(3, 250, size=(B, Lseq))
+        mask = np.ones((B, Lseq), dtype=np.int64)
+        with torch.no_grad():
+            hf_logits = model(
+                input_ids=torch.tensor(input_ids), attention_mask=torch.tensor(mask)
+            ).logits[:, -1, :].numpy()
+
+        position_ids, _ = L.llama_positions(mask)
+        embeds = jnp.take(params["embed_tokens"], jnp.asarray(input_ids), axis=0)
+        logits, _ = L.prefill(
+            params, embeds, jnp.asarray(position_ids),
+            jnp.asarray(mask.astype(np.int32)), config.to_decoder_config(), cache_len=Lseq + 8,
+        )
+        np.testing.assert_allclose(np.asarray(logits), hf_logits, rtol=5e-3, atol=5e-3)
+
+
+class TestPhi3vAdapter:
+    def test_end_to_end(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model("phi3v-tiny", batch_size=4, random_init=True, dtype="float32")
+        tm = TaskManager(include_path=toy_task_path, model_name="phi3v-tiny")
+        task_dict = get_tasks_as_dict(["toy"], tm)
+        task = task_dict["toy"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
+        )
+        assert "exact_match,none" in results["results"]["toy"]
