@@ -13,6 +13,7 @@ Contract parity with reference src/engine/_engine.py, re-architected for JAX:
 from __future__ import annotations
 
 import math
+import os
 import random
 import time
 from argparse import Namespace
@@ -180,6 +181,13 @@ def evaluate(
             padding_requests[req_type] += int(gathered.max() - gathered[RANK])
 
     # ------------------------------------------------------------ run the model
+    profile_dir = os.environ.get("LMMS_OWC_PROFILE_DIR")
+    if profile_dir and RANK == 0:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+        log.info("jax profiler tracing to %s", profile_dir)
+
     for req_type, reqs in requests.items():
         log.info("Running %d %s requests", len(reqs), req_type)
         t_start = time.perf_counter()
@@ -206,6 +214,11 @@ def evaluate(
                 len(cloned_reqs) / elapsed,
             )
         _sync_processes(WORLD_SIZE)
+
+    if profile_dir and RANK == 0:
+        import jax
+
+        jax.profiler.stop_trace()
 
     # Padded duplicates appended extra resps to the final request; trim them.
     for req_type, reqs in requests.items():
