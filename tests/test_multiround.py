@@ -1,0 +1,43 @@
+"""Multi-round generation protocol: end-to-end through engine + fake model."""
+
+
+class TestMultiRound:
+    def test_fake_model_multiround(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import simple_evaluate
+        from lmms_owc_tpu.tasks import TaskManager
+
+        tm = TaskManager(include_path=toy_task_path, model_name="fake")
+        results = simple_evaluate(
+            model_name="fake",
+            model_args="response_mode=target",
+            tasks=["toy_multiround"],
+            limit=3,
+            bootstrap_iters=0,
+            task_manager=tm,
+            log_samples=True,
+        )
+        res = results["results"]["toy_multiround"]
+        # Fake model echoes the target every round -> exact match on the last round.
+        assert res["exact_match,none"] == 1.0
+        samples = results["samples"]["toy_multiround"]
+        # Two staged prompts -> two rounds of responses.
+        assert len(samples[0]["resps"][0][0]) == 2
+
+    def test_qwen_tiny_multiround(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model("qwen2-vl-tiny", batch_size=2, random_init=True, dtype="float32")
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task_dict = get_tasks_as_dict(["toy_multiround"], tm)
+        task = task_dict["toy_multiround"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy_multiround"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=1, bootstrap_iters=0, log_samples=True
+        )
+        samples = results["samples"]["toy_multiround"]
+        rounds = samples[0]["resps"][0][0]
+        assert isinstance(rounds, list) and len(rounds) == 2

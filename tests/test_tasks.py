@@ -21,7 +21,9 @@ class TestTaskManager:
         assert "toy_suite" in task_manager.all_tags
 
     def test_match_tasks(self, task_manager):
-        assert task_manager.match_tasks(["toy*"]) == ["toy", "toy_semantic", "toy_suite"]
+        assert task_manager.match_tasks(["toy*"]) == [
+            "toy", "toy_multiround", "toy_semantic", "toy_suite",
+        ]
 
     def test_listing(self, task_manager):
         listing = task_manager.list_all_tasks()
