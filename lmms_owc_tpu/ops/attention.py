@@ -155,11 +155,13 @@ def flash_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if use_pallas is None:
-        use_pallas = (
-            _USE_PALLAS_OVERRIDE
-            if _USE_PALLAS_OVERRIDE is not None
-            else jax.default_backend() == "tpu"
-        )
+        if _USE_PALLAS_OVERRIDE is not None:
+            use_pallas = _USE_PALLAS_OVERRIDE
+        else:
+            # A/B on v5e: XLA's fused attention wins at short/medium sequences
+            # (<=1k, head_dim 80-128); the flash kernel's VMEM tiling pays off once
+            # the [Lq, Lk] score tile stops fitting nicely (long-context prefill).
+            use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= 2048
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
