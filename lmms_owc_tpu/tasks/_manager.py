@@ -596,6 +596,11 @@ class ConfigurableTask(Task):
     # ------------------------------------------------------------------ scoring
 
     def process_results(self, doc: dict, results, full_docs: dict | None = None, **kwargs) -> dict:
+        """Score one document. Retried on transient failure like the reference
+        (src/data/tasks/_manager.py:920, tenacity retry for scoring-model flakes)."""
+        return _retry(lambda: self._process_results_once(doc, results, full_docs, **kwargs))
+
+    def _process_results_once(self, doc: dict, results, full_docs: dict | None = None, **kwargs) -> dict:
         if self.OUTPUT_TYPE == "generate_until":
             if isinstance(results, list) and isinstance(results[0], list):
                 results = [res.strip() for res in results[0]]

@@ -240,6 +240,34 @@ def _instance_level_acc(results: dict) -> float:
     return acc / num if num else 0
 
 
+def process_reasoning_results(doc: dict, results: list[str]) -> dict:
+    """Store the raw reasoning response for post-hoc judge scoring."""
+    return {
+        "mmmu_judge_acc": {
+            "id": doc["id"],
+            "subdomain": _extract_subset_name(doc["id"]),
+            "question_type": doc["question_type"],
+            "answer": doc["answer"],
+            "response": results[0],
+        }
+    }
+
+
+def aggregate_judge_results(results: list[dict]) -> float:
+    """Judge-scored accuracy of free-form reasoning answers.
+
+    The reference uses a GPT API judge (src/data/tasks/_examples/mmmu/_mmmu_utils.py:
+    _get_chat_response); here the local Llama-3.2 judge pipeline scores whether each
+    response contains the reference answer.
+    """
+    from lmms_owc_tpu.pipelines.text import textual_inclusion_llama32
+
+    preds = [r["response"] for r in results]
+    refs = [str(r["answer"]) for r in results]
+    scores = textual_inclusion_llama32(predictions=preds, references=refs)
+    return float(np.mean([int(s) if s in ["0", "1"] else 0 for s in scores]))
+
+
 def aggregate_results(results: list[dict]) -> float:
     by_subset: dict = defaultdict(list)
     for result in results:
