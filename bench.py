@@ -24,7 +24,51 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.0  # reference-style batch-1 A100 estimate (see docstring)
 
 
+def bench_simmatch() -> None:
+    """BENCH_MODE=simmatch: sentence-embedding label<->class matching throughput.
+
+    Measures pairs/sec through the MiniLM-architecture encoder (random weights, same
+    FLOPs as the real checkpoint) + normalized dot-product similarity — the SBERT
+    stage the reference runs per-sample on GPU (src/data/metrics/_group.py:488-544).
+    No reference throughput exists (BASELINE.md), so vs_baseline reports the measured
+    value against a 1k pairs/sec nominal point.
+    """
+    import time
+
+    import numpy as np
+
+    from lmms_owc_tpu.nn.sbert import SentenceEncoder
+
+    encoder = SentenceEncoder.random_init(seed=0)
+    rng = np.random.RandomState(0)
+    words = ["panda", "jay", "turtle", "retriever", "oak", "jet", "rose", "sedan"]
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "4096"))
+    refs = [f"a photo of a {words[i % 8]}" for i in range(n_pairs)]
+    preds = [f"this looks like a {words[rng.randint(8)]} in the wild" for _ in range(n_pairs)]
+
+    encoder.encode(refs[:64])  # warm the (batch, length) bucket programs
+    t0 = time.perf_counter()
+    refs_z = encoder.encode(refs)
+    preds_z = encoder.encode(preds)
+    sims = np.sum(refs_z * preds_z, axis=-1)
+    elapsed = time.perf_counter() - t0
+    assert sims.shape == (n_pairs,)
+    pairs_per_sec = n_pairs / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "sim_match_pairs_per_sec_minilm",
+                "value": round(pairs_per_sec, 1),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pairs_per_sec / 1000.0, 3),
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("BENCH_MODE") == "simmatch":
+        return bench_simmatch()
     os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
     # Persist compiled executables: first run pays remote-compile cost once; driver
     # re-runs load from disk.

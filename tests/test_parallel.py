@@ -1,0 +1,72 @@
+"""Mesh construction and sharding-rule tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+
+    return create_mesh(MeshConfig(data=4, model=2))
+
+
+class TestMesh:
+    def test_shape(self, mesh):
+        assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+    def test_resolve_infers_axis(self):
+        from lmms_owc_tpu.parallel import MeshConfig
+
+        assert MeshConfig(data=-1, model=2).resolve(8) == (4, 2)
+        assert MeshConfig(data=-1, model=1).resolve(8) == (8, 1)
+        with pytest.raises(ValueError):
+            MeshConfig(data=3, model=2).resolve(8)
+
+
+class TestShardingRules:
+    def test_qwen_params_shard_over_model_axis(self, mesh):
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.parallel.sharding import make_param_shardings, shard_params
+
+        config = qvl.Qwen2VLConfig.from_hf_dict(
+            dict(
+                vocab_size=512, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+                tie_word_embeddings=True,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+                vision_config=dict(depth=2, embed_dim=32, num_heads=4, mlp_ratio=2.0),
+            )
+        )
+        params = qvl.init_decoder_params(jax.random.PRNGKey(0), config, jnp.float32)
+        shardings = make_param_shardings(params, mesh)
+
+        # MLP up/gate are column-sharded over "model".
+        up_spec = shardings["layers"]["mlp"]["up"]["w"].spec
+        assert tuple(up_spec) == (None, None, "model")
+        down_spec = shardings["layers"]["mlp"]["down"]["w"].spec
+        assert tuple(down_spec) == (None, "model", None)
+        # Norm scales replicated.
+        assert tuple(shardings["layers"]["input_ln"]["scale"].spec) == ()
+
+        sharded = shard_params(params, mesh)
+        up = sharded["layers"]["mlp"]["up"]["w"]
+        # Each model-axis shard holds half the output features.
+        shard_shapes = {s.data.shape for s in up.addressable_shards}
+        assert shard_shapes == {(2, 64, 64)}
+
+    def test_indivisible_dims_fall_back_to_replication(self, mesh):
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.parallel.sharding import make_param_shardings
+
+        params = {"layers": {"mlp": {"up": {"w": jnp.ones((2, 8, 3))}}}}  # 3 % 2 != 0
+        shardings = make_param_shardings(params, mesh)
+        assert tuple(shardings["layers"]["mlp"]["up"]["w"].spec) == (None, None, None)
