@@ -46,7 +46,9 @@ def bench_simmatch() -> None:
     refs = [f"a photo of a {words[i % 8]}" for i in range(n_pairs)]
     preds = [f"this looks like a {words[rng.randint(8)]} in the wild" for _ in range(n_pairs)]
 
-    encoder.encode(refs[:64])  # warm the (batch, length) bucket programs
+    # Warm the exact (batch, length) bucket programs the timed loop will hit.
+    encoder.encode(refs[:1024])
+    encoder.encode(preds[:1024])
     t0 = time.perf_counter()
     refs_z = encoder.encode(refs)
     preds_z = encoder.encode(preds)

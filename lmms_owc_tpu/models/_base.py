@@ -140,3 +140,16 @@ class Model(abc.ABC):
         raise NotImplementedError(
             f"{type(self).__name__} does not implement generate_until_multi_round"
         )
+
+    def apply_chat_template(self, messages: list[dict]) -> str:
+        """Render chat messages to a prompt string (--apply_chat_template).
+
+        Adapters override with their family's template; the default is a plain
+        role-prefixed concatenation.
+        """
+        rendered = "".join(f"{m['role']}: {m['content']}\n" for m in messages)
+        return rendered + "assistant:"
+
+    @property
+    def chat_template(self) -> str:
+        return type(self).__name__
