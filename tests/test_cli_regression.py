@@ -1,0 +1,81 @@
+"""eval_model.py subprocess regression: pinned metric values through the real CLI.
+
+Mirrors the reference test strategy (tests/models/models_test.py: launch the CLI,
+load the produced results JSON, assert pinned values) with the deterministic fake
+backend instead of GPU checkpoints.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Pinned end-to-end values: fake target-echo model scores perfectly; const model zero.
+PINNED = {
+    "target": {"exact_match,none": 1.0, "textual_inclusion,none": 1.0},
+    "const": {"exact_match,none": 0.0, "textual_inclusion,none": 0.0},
+}
+
+
+def _run_cli(tmp_path: Path, model_args: str) -> dict:
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "eval_model.py"),
+            "--model", "fake",
+            "--model_args", model_args,
+            "--tasks", "toy",
+            "--include_path", str(REPO / "tests" / "fixtures" / "tasks"),
+            "--limit", "6",
+            "--log_samples",
+            "--output_path", str(tmp_path),
+            "--seed", "0,1234,1234,1234",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu",
+             "LMMS_OWC_TPU_LOG_LEVEL": "WARNING"},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    results_files = list(tmp_path.rglob("*_results.json"))
+    assert len(results_files) == 1
+    return json.loads(results_files[0].read_text())
+
+
+@pytest.mark.parametrize("mode", ["target", "const"])
+def test_pinned_cli_values(tmp_path, toy_dataset, mode):
+    model_args = f"pretrained=fake-{mode},response_mode={mode}"
+    results = _run_cli(tmp_path / mode, model_args)
+    task_results = results["results"]["toy"]
+    for metric, value in PINNED[mode].items():
+        assert task_results[metric] == value, (metric, task_results)
+    assert results["n-samples"]["toy"] == {"original": 12, "effective": 6}
+    # Samples jsonl written alongside with per-sample hashes.
+    samples_files = list((tmp_path / mode).rglob("*_samples_toy.jsonl"))
+    assert len(samples_files) == 1
+    first = json.loads(samples_files[0].read_text().splitlines()[0])
+    assert {"doc_hash", "prompt_hash", "target_hash"} <= set(first)
+
+
+def test_tag_expands_to_group_run(tmp_path, toy_dataset):
+    """Running the toy_suite tag evaluates all member tasks in one run."""
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "eval_model.py"),
+            "--model", "fake",
+            "--model_args", "pretrained=fake-tag,response_mode=target",
+            "--tasks", "toy_suite",
+            "--include_path", str(REPO / "tests" / "fixtures" / "tasks"),
+            "--limit", "3",
+            "--output_path", str(tmp_path),
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu",
+             "LMMS_OWC_TPU_LOG_LEVEL": "WARNING"},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    results_files = list(tmp_path.rglob("*_results.json"))
+    saved = json.loads(results_files[0].read_text())
+    assert {"toy", "toy_semantic"} <= set(saved["results"])
