@@ -585,21 +585,31 @@ class Qwen2VL(Model):
         return rows, vision_flat
 
     def generate_until(self, requests) -> list[str]:
+        from concurrent.futures import ThreadPoolExecutor
+
         collator = Collator(
             [req.args for req in requests],
             sort_fn=lambda args: -len(args[0]),
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
+        chunks = list(collator.get_batched(n=self.batch_size))
         results: list[str] = []
-        for chunk in collator.get_batched(n=self.batch_size):
-            gen_kwargs = dict(chunk[0][1] or {})
-            until = gen_kwargs.get("until") or []
-            if isinstance(until, str):
-                until = [until]
-            rows, vision_flat = self._prepare_requests_batch(chunk)
-            texts = self._run_batch(rows, gen_kwargs, vision_flat)
-            results.extend(self._trim_until(t, until).strip() for t in texts)
+        # Pipeline: host preprocessing + vision encode of chunk k+1 overlaps the
+        # decode of chunk k (the C++ loader releases the GIL; JAX dispatch is
+        # thread-safe). The reference prepares every sample on the critical path.
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(self._prepare_requests_batch, chunks[0]) if chunks else None
+            for i, chunk in enumerate(chunks):
+                rows, vision_flat = pending.result()
+                if i + 1 < len(chunks):
+                    pending = pool.submit(self._prepare_requests_batch, chunks[i + 1])
+                gen_kwargs = dict(chunk[0][1] or {})
+                until = gen_kwargs.get("until") or []
+                if isinstance(until, str):
+                    until = [until]
+                texts = self._run_batch(rows, gen_kwargs, vision_flat)
+                results.extend(self._trim_until(t, until).strip() for t in texts)
         return collator.get_original(results)
 
     def generate_until_multi_round(self, requests) -> list[list[str]]:
