@@ -88,8 +88,8 @@ def main() -> None:
     from lmms_owc_tpu.models import get_model
 
     preset = os.environ.get("BENCH_PRESET", "qwen2-vl-2b")
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-    num_images = int(os.environ.get("BENCH_IMAGES", "64"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    num_images = int(os.environ.get("BENCH_IMAGES", "96"))
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
 
