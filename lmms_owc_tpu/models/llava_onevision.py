@@ -163,9 +163,6 @@ class LlavaOnevision(Model):
 
         if self.pretrained is not None and Path(self.pretrained).exists():
             state = load_safetensors_state(self.pretrained)
-            clip_tree = None
-            from lmms_owc_tpu.nn.idefics2 import convert_hf_idefics2_weights  # noqa: F401
-
             self.params = {
                 "text": convert_hf_decoder_weights(
                     state, self.decoder_config, dtype, attn_bias=self.text_attn_bias

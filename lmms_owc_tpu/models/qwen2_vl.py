@@ -619,41 +619,64 @@ class Qwen2VL(Model):
         the prebuilt context; later rounds call
         ``doc_to_text(doc, round_idx=r, previous_round_results=..., last_round_info=...)``
         which returns ``(visual, text, terminal, previous_round_results, last_round_info)``.
+        Unlike the reference's per-sample loop, each round runs every still-active
+        request of a chunk as one batched decode.
         """
+        collator = Collator(
+            [req.args for req in requests],
+            sort_fn=lambda args: -len(args[0]),
+            group_fn=lambda args: repr(args[1]),
+            group_by="gen_kwargs",
+        )
         results: list[list[str]] = []
-        for req in requests:
-            ctx, gen_kwargs, doc_to_visual, doc_to_text, doc_id, task_name, split = req.args
-            task = self.task_dict.get(task_name)
-            if isinstance(task, tuple):
-                task = task[1]
-            doc = task.dataset[split][doc_id]
-            until = (gen_kwargs or {}).get("until") or []
+        for chunk in collator.get_batched(n=self.batch_size):
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
 
-            rounds: list[str] = []
-            last_round_info = None
-            prompt_ctx = ctx
+            docs = []
+            for args in chunk:
+                task = self.task_dict.get(args[5])
+                if isinstance(task, tuple):
+                    task = task[1]
+                docs.append(task.dataset[args[6]][args[4]])
+
+            rounds: list[list[str]] = [[] for _ in chunk]
+            infos: list = [None] * len(chunk)
+            prompts: list = [args[0] for args in chunk]
+            active = list(range(len(chunk)))
             round_idx = 0
-            while True:
+            while active and round_idx <= 16:
                 if round_idx != 0:
-                    out = doc_to_text(
-                        doc,
-                        round_idx=round_idx,
-                        previous_round_results=list(rounds),
-                        last_round_info=last_round_info,
-                    )
-                    _visual, prompt_ctx, terminal, _prev, last_round_info = out
-                    if terminal:
+                    still_active = []
+                    for i in active:
+                        doc_to_text = chunk[i][3]
+                        _vis, text, terminal, _prev, infos[i] = doc_to_text(
+                            docs[i],
+                            round_idx=round_idx,
+                            previous_round_results=list(rounds[i]),
+                            last_round_info=infos[i],
+                        )
+                        if not terminal:
+                            prompts[i] = text
+                            still_active.append(i)
+                    active = still_active
+                    if not active:
                         break
-                rows, vision_flat = self._prepare_requests_batch(
-                    [(prompt_ctx, gen_kwargs, doc_to_visual, doc_id, task_name, split)]
-                )
-                text = self._run_batch(rows, dict(gen_kwargs or {}), vision_flat)[0]
-                rounds.append(self._trim_until(text, until).strip())
+
+                # (ctx, gen_kwargs, doc_to_visual, doc_id, task, split) per active row.
+                sub_chunk = [
+                    (prompts[i], gen_kwargs, chunk[i][2], chunk[i][4], chunk[i][5], chunk[i][6])
+                    for i in active
+                ]
+                rows, vision_flat = self._prepare_requests_batch(sub_chunk)
+                texts = self._run_batch(rows, dict(gen_kwargs), vision_flat)
+                for i, text in zip(active, texts):
+                    rounds[i].append(self._trim_until(text, until).strip())
                 round_idx += 1
-                if round_idx > 16:
-                    break
-            results.append(rounds)
-        return results
+            results.extend(rounds)
+        return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
         raise NotImplementedError(
