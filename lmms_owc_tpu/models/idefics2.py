@@ -100,6 +100,7 @@ class Idefics2(Model):
         pretrained: str | None = None,
         preset: str = "idefics2-8b",
         image_size: int | None = None,
+        do_image_splitting: bool = False,
         random_init: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
@@ -107,6 +108,7 @@ class Idefics2(Model):
         self.pretrained = pretrained
         self.preset = preset
         self.image_size_override = image_size
+        self.do_image_splitting = do_image_splitting
         self.random_init = random_init or pretrained is None
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)
@@ -175,6 +177,26 @@ class Idefics2(Model):
         image_block = (_FAKE + _IMAGE * n_latents) * num_images + (_FAKE if num_images else "")
         return f"User:{image_block}{context}{_EOU}\nAssistant:"
 
+    def _expand_visuals(self, visuals: list) -> list:
+        """Optional HF-style image splitting: 4 quadrant crops + the full image."""
+        if not self.do_image_splitting:
+            return list(visuals)
+        out = []
+        for image in visuals:
+            image = image.convert("RGB")
+            w, h = image.size
+            mid_w, mid_h = w // 2, h // 2
+            out.extend(
+                [
+                    image.crop((0, 0, mid_w, mid_h)),
+                    image.crop((mid_w, 0, w, mid_h)),
+                    image.crop((0, mid_h, mid_w, h)),
+                    image.crop((mid_w, mid_h, w, h)),
+                    image,
+                ]
+            )
+        return out
+
     def _preprocess(self, visuals: list) -> np.ndarray | None:
         if not visuals:
             return None
@@ -224,6 +246,7 @@ class Idefics2(Model):
                     if (task is not None and doc_to_visual is not None)
                     else []
                 ) or []
+                visuals = self._expand_visuals(visuals)
                 pixels = self._preprocess(visuals)
                 if pixels is not None:
                     image_stacks.append(pixels)
