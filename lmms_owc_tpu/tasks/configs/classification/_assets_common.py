@@ -136,7 +136,7 @@ def _fetch(name: str, cache_dir: str) -> Path:
 
 
 def _load_packaged_splits(name: str) -> tuple | None:
-    """(class_names, folder_to_class, split_rows) from reference-schema CSVs, if provided."""
+    """(folder_to_class, split_rows) from reference-schema CSVs, if provided."""
     assets_dir = os.environ.get("LMMS_OWC_ASSETS_DIR")
     if not assets_dir:
         return None
@@ -150,6 +150,32 @@ def _load_packaged_splits(name: str) -> tuple | None:
     split = pd.read_csv(split_fp)
     folder_to_class = dict(zip(meta["folder_name"].astype(str), meta["class_name"]))
     return folder_to_class, list(zip(split["filename"], split["split"]))
+
+
+def _load_coop_json_splits(name: str, root: Path) -> tuple | None:
+    """Parse a CoOp ``split_zhou_*.json`` (the public split artifact the reference's
+    CSVs were derived from): {"train"|"val"|"test": [[impath, label, classname], ...]}.
+
+    Searched in $LMMS_OWC_ASSETS_DIR/<name>/ and the dataset root.
+    """
+    import json
+
+    candidates = []
+    assets_dir = os.environ.get("LMMS_OWC_ASSETS_DIR")
+    if assets_dir:
+        candidates += sorted(Path(assets_dir, name).glob("split_zhou_*.json"))
+    candidates += sorted(root.glob("split_zhou_*.json")) + sorted(root.glob("*/split_zhou_*.json"))
+    if not candidates:
+        return None
+    data = json.loads(Path(candidates[0]).read_text())
+
+    split_rows = []
+    path_to_class = {}
+    for split_name in ("train", "val", "test"):
+        for impath, _label, classname in data.get(split_name, []):
+            split_rows.append((impath, split_name))
+            path_to_class[impath] = classname
+    return path_to_class, split_rows
 
 
 def _coop_random_split(files: list[str], seed: int = 1234) -> list[tuple[str, str]]:
@@ -234,11 +260,18 @@ def download_benchmark(name: str, output_dir: str = "data", cache_dir: str = ".c
     root = _fetch(name, cache_dir)
 
     packaged = _load_packaged_splits(name)
+    coop_json = None if packaged is not None else _load_coop_json_splits(name, root)
     if packaged is not None:
         folder_to_class, split_rows = packaged
 
         def class_of(rel: str) -> str:
             return folder_to_class.get(Path(rel).parent.name, Path(rel).parent.name)
+
+    elif coop_json is not None:
+        path_to_class, split_rows = coop_json
+
+        def class_of(rel: str) -> str:
+            return path_to_class[rel]
 
     else:
         split_rows = _official_splits(name, root)
