@@ -141,6 +141,26 @@ class Model(abc.ABC):
             f"{type(self).__name__} does not implement generate_until_multi_round"
         )
 
+    def _foreach_chunk_pipelined(self, chunks: list, prepare, run) -> list:
+        """Process chunks with chunk k+1's preparation overlapped with chunk k's run.
+
+        ``prepare(chunk)`` does host preprocessing + vision encode (GIL-friendly);
+        ``run(chunk, prepared)`` does the serial decode and returns a list of outputs.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        results: list = []
+        if not chunks:
+            return results
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = pool.submit(prepare, chunks[0])
+            for i, chunk in enumerate(chunks):
+                prepared = pending.result()
+                if i + 1 < len(chunks):
+                    pending = pool.submit(prepare, chunks[i + 1])
+                results.extend(run(chunk, prepared))
+        return results
+
     def apply_chat_template(self, messages: list[dict]) -> str:
         """Render chat messages to a prompt string (--apply_chat_template).
 

@@ -384,18 +384,20 @@ class LlavaHf(Model):
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        results: list[str] = []
-        for chunk in collator.get_batched(n=self.batch_size):
+        chunks = list(collator.get_batched(n=self.batch_size))
+
+        def _prepare_chunk(chunk):
+            return [
+                self._prepare_request(args[0], args[2], args[3], args[4], args[5])
+                for args in chunk
+            ]
+
+        def _run_chunk(chunk, prepared):
             gen_kwargs = dict(chunk[0][1] or {})
             until = gen_kwargs.get("until") or []
             if isinstance(until, str):
                 until = [until]
             max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
-
-            prepared = [
-                self._prepare_request(args[0], args[2], args[3], args[4], args[5])
-                for args in chunk
-            ]
             bsz = len(prepared)
             bucket = pad_to_bucket(max(len(ids) for ids, _ in prepared))
             pad_id = self.config.pad_token_id
@@ -427,6 +429,7 @@ class LlavaHf(Model):
             )
             tokens = np.asarray(tokens)
             stop = set(self.eos_token_ids) | {pad_id}
+            out = []
             for row in range(bsz):
                 ids = []
                 for tok in tokens[row]:
@@ -437,7 +440,10 @@ class LlavaHf(Model):
                 for stop_str in until:
                     if stop_str and stop_str in text:
                         text = text.split(stop_str)[0]
-                results.append(text.strip())
+                out.append(text.strip())
+            return out
+
+        results = self._foreach_chunk_pipelined(chunks, _prepare_chunk, _run_chunk)
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:

@@ -398,11 +398,12 @@ class LlavaOnevision(Model):
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        results: list[str] = []
-        for chunk in collator.get_batched(n=self.batch_size):
-            gen_kwargs = dict(chunk[0][1] or {})
-            prepared = [self._prepare(args) for args in chunk]
-            results.extend(self._run(prepared, gen_kwargs))
+        chunks = list(collator.get_batched(n=self.batch_size))
+        results = self._foreach_chunk_pipelined(
+            chunks,
+            prepare=lambda chunk: [self._prepare(args) for args in chunk],
+            run=lambda chunk, prepared: self._run(prepared, dict(chunk[0][1] or {})),
+        )
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
