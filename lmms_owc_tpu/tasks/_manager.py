@@ -364,6 +364,15 @@ class ConfigurableTask(Task):
         chat_template: Callable | None = None,
     ) -> str | list:
         """Build the full prompt: system/description + few-shot examples + question."""
+        if num_fewshot > 0 and not hasattr(self, "sampler"):
+            # Tasks without an explicit fewshot_config get the default sampler,
+            # seeded by set_fewshot_seed (fewshot_random_seed).
+            sampler_cls = get_sampler_builder("default")
+            self.sampler = sampler_cls(
+                list(self.fewshot_docs()), self,
+                rnd=getattr(self, "fewshot_rnd", random.Random(1234)),
+            )
+
         description = self.config.description
         if description:
             description = utils.apply_jinja_template(self.config.description, doc)
