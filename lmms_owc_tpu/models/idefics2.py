@@ -225,16 +225,10 @@ class Idefics2(Model):
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        results: list[str] = []
         n_latents = self.config.perceiver.n_latents
 
-        for chunk in collator.get_batched(n=self.batch_size):
-            gen_kwargs = dict(chunk[0][1] or {})
-            until = gen_kwargs.get("until") or []
-            if isinstance(until, str):
-                until = [until]
-            max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
-
+        def prepare(chunk):
+            """Host preprocessing + SigLIP/perceiver encode; overlapped with decode."""
             rows, image_stacks, image_counts = [], [], []
             for args in chunk:
                 ctx, _gk, doc_to_visual, doc_id, task_name, split = args[:6]
@@ -284,6 +278,16 @@ class Idefics2(Model):
                 jnp.asarray(index_map) if vision_flat is not None else None,
             )
             position_ids, next_pos = L.llama_positions(mask)
+            return embeds, position_ids, mask, next_pos, bucket, pad_id
+
+        def run(chunk, prepared):
+            embeds, position_ids, mask, next_pos, bucket, pad_id = prepared
+            bsz = len(chunk)
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
             self._rng, subkey = jax.random.split(self._rng)
             tokens = L.greedy_generate(
                 self.params["text"],
@@ -302,6 +306,7 @@ class Idefics2(Model):
             )
             tokens = np.asarray(tokens)
             stop = set(self.eos_token_ids) | {pad_id}
+            outputs = []
             for row in range(bsz):
                 out_ids = []
                 for tok in tokens[row]:
@@ -312,7 +317,11 @@ class Idefics2(Model):
                 for stop_str in until:
                     if stop_str and stop_str in text:
                         text = text.split(stop_str)[0]
-                results.append(text.strip())
+                outputs.append(text.strip())
+            return outputs
+
+        chunks = list(collator.get_batched(n=self.batch_size))
+        results = self._foreach_chunk_pipelined(chunks, prepare, run)
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:

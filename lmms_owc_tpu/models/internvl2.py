@@ -280,18 +280,15 @@ class InternVL2(Model):
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        results: list[str] = []
-        for chunk in collator.get_batched(n=self.batch_size):
-            gen_kwargs = dict(chunk[0][1] or {})
-            until = gen_kwargs.get("until") or []
-            if isinstance(until, str):
-                until = [until]
-            max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
+        def prepare(chunk):
+            """Host preprocessing + batched vision encode for one chunk.
 
+            Runs on a helper thread so chunk k+1's tiling/tokenizing/ViT dispatch
+            overlaps chunk k's decode loop (pipelined like the flagship adapter).
+            """
             # Collect all tiles across the chunk, encode in one program.
             rows = []
             all_tiles = []
-            row_tile_offsets = []
             tile_cursor = 0
             for args in chunk:
                 ctx, _gk, doc_to_visual, doc_id, task_name, split = args[:6]
@@ -307,7 +304,6 @@ class InternVL2(Model):
                 ids = self.tokenizer.encode(self._build_prompt(ctx, tile_counts))
                 n_tiles = sum(tile_counts)
                 rows.append((ids, tile_cursor, n_tiles))
-                row_tile_offsets.append(tile_cursor)
                 tile_cursor += n_tiles
                 if tiles is not None:
                     all_tiles.append(tiles)
@@ -344,6 +340,16 @@ class InternVL2(Model):
                 jnp.asarray(index_map) if vision_flat is not None else None,
             )
             position_ids, next_pos = L.llama_positions(mask)
+            return embeds, position_ids, mask, next_pos, bucket, pad_id
+
+        def run(chunk, prepared):
+            embeds, position_ids, mask, next_pos, bucket, pad_id = prepared
+            bsz = len(chunk)
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            max_new = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
             self._rng, subkey = jax.random.split(self._rng)
             tokens = L.greedy_generate(
                 self.params["text"],
@@ -362,6 +368,7 @@ class InternVL2(Model):
             )
             tokens = np.asarray(tokens)
             stop = set(self.eos_token_ids) | {pad_id}
+            outputs = []
             for row in range(bsz):
                 out_ids = []
                 for tok in tokens[row]:
@@ -372,7 +379,11 @@ class InternVL2(Model):
                 for stop_str in until:
                     if stop_str and stop_str in text:
                         text = text.split(stop_str)[0]
-                results.append(text.strip())
+                outputs.append(text.strip())
+            return outputs
+
+        chunks = list(collator.get_batched(n=self.batch_size))
+        results = self._foreach_chunk_pipelined(chunks, prepare, run)
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
