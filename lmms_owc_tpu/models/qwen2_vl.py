@@ -170,6 +170,7 @@ class Qwen2VL(Model):
         random_init: bool = False,
         system_prompt: str = "You are a helpful assistant.",
         device_resize: bool = False,
+        load_in_8bit: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
     ) -> None:
@@ -182,6 +183,7 @@ class Qwen2VL(Model):
         self.random_init = random_init or pretrained is None
         self.system_prompt = system_prompt
         self.device_resize = device_resize
+        self.load_in_8bit = bool(load_in_8bit)
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)
 
@@ -242,6 +244,15 @@ class Qwen2VL(Model):
                 )
             self.tokenizer = _FallbackTokenizer()
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
+
+        if self.load_in_8bit:
+            # Weight-only int8 (bitsandbytes load_in_8bit equivalent,
+            # reference src/models/_base.py:116-121): linear kernels + lm_head
+            # stored int8 in HBM, upcast fused into the MXU matmul.
+            from lmms_owc_tpu.ops.quant import quantize_params_int8
+
+            self.params = quantize_params_int8(self.params)
+            log.info("quantized linear weights to int8 (weight-only)")
 
         self.mesh = None
         if self.use_mesh:

@@ -137,7 +137,9 @@ def blip_vision_forward(params: dict, pixel_values: jax.Array, config: BlipVisio
 def _bert_attention(attn_params, hidden, kv_source, num_heads, mask=None):
     """BERT-style attention block returning the post-LN residual output."""
     b, lq, h = hidden.shape
-    hd = attn_params["q"]["w"].shape[1] // num_heads
+    from lmms_owc_tpu.ops.quant import dense_out_dim
+
+    hd = dense_out_dim(attn_params["q"]) // num_heads
     q = dense(attn_params["q"], hidden).reshape(b, lq, num_heads, hd).transpose(0, 2, 1, 3)
     k = dense(attn_params["k"], kv_source).reshape(b, kv_source.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
     v = dense(attn_params["v"], kv_source).reshape(b, kv_source.shape[1], num_heads, hd).transpose(0, 2, 1, 3)

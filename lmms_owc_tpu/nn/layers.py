@@ -28,10 +28,22 @@ __all__ = [
 
 
 def dense(params: dict, x: jax.Array) -> jax.Array:
-    """x @ w (+ b). params: {"w": [in, out], optional "b": [out]}."""
-    out = jnp.einsum(
-        "...i,io->...o", x, params["w"], preferred_element_type=x.dtype
-    )
+    """x @ w (+ b). params: {"w": [in, out], optional "b": [out]}.
+
+    Also accepts weight-only int8 params ({"w_q8": {"q", "scale"}}, see
+    lmms_owc_tpu.ops.quant): the int8 kernel stays int8 in HBM, XLA fuses the
+    upcast into the matmul, and the per-output-channel scale applies after.
+    """
+    if "w_q8" in params:
+        qp = params["w_q8"]
+        out = jnp.einsum(
+            "...i,io->...o", x, qp["q"].astype(x.dtype), preferred_element_type=x.dtype
+        )
+        out = out * qp["scale"].astype(x.dtype)
+    else:
+        out = jnp.einsum(
+            "...i,io->...o", x, params["w"], preferred_element_type=x.dtype
+        )
     if "b" in params and params["b"] is not None:
         out = out + params["b"]
     return out

@@ -608,6 +608,22 @@ def _layer_params_at(layers: dict, leaf_selector) -> dict:
     return jax.tree_util.tree_map(leaf_selector, layers)
 
 
+def _head_logits(params: dict, x: jax.Array) -> jax.Array:
+    """LM-head projection in f32; handles tied embeddings and int8 lm_head.
+
+    For an int8-quantized head (ops.quant), the per-output-channel scale is
+    constant along the contraction axis, so ``(x @ q) * scale`` keeps the vocab
+    matrix int8 in HBM — the head is the largest single decode-step read.
+    """
+    if "lm_head" in params:
+        head = params["lm_head"]
+        if "w_q8" in head:
+            qp = head["w_q8"]
+            return jnp.dot(x.astype(jnp.float32), qp["q"].astype(jnp.float32)) * qp["scale"]
+        return jnp.dot(x.astype(jnp.float32), head["w"].astype(jnp.float32))
+    return jnp.dot(x.astype(jnp.float32), params["embed_tokens"].T.astype(jnp.float32))
+
+
 def _decoder_forward(params, input_embeds, position_ids, attention_mask, config):
     """Causal decoder over the full (padded) sequence -> (final hidden states, (ks, vs))."""
     cos, sin = mrope_cos_sin(position_ids, config)  # [B, L, hd/2]
@@ -644,10 +660,7 @@ def score_continuation(
     src/models/_llava_hf.py:169-260.
     """
     x, _ = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
-    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
-    logits = jnp.einsum(
-        "blh,hv->blv", x.astype(jnp.float32), head_w.astype(jnp.float32)
-    )
+    logits = _head_logits(params, x)
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     target_logprobs = jnp.take_along_axis(logprobs, target_ids[..., None], axis=-1)[..., 0]
     maskf = target_mask.astype(jnp.float32)
@@ -682,8 +695,7 @@ def prefill(
     x, (ks, vs) = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
 
     last = x[:, -1, :]  # left-padded: last position is the newest token
-    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
-    logits = jnp.dot(last.astype(jnp.float32), head_w.astype(jnp.float32))
+    logits = _head_logits(params, last)
 
     pad = cache_len - l
     cache_k = jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
@@ -719,8 +731,7 @@ def decode_step(
 
     x, (cache_k, cache_v) = jax.lax.scan(layer_fn, x, (params["layers"], cache_k, cache_v))
     x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
-    head_w = params["lm_head"]["w"] if "lm_head" in params else params["embed_tokens"].T
-    logits = jnp.dot(x[:, 0].astype(jnp.float32), head_w.astype(jnp.float32))
+    logits = _head_logits(params, x[:, 0])
     return logits, (cache_k, cache_v)
 
 

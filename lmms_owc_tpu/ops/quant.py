@@ -1,0 +1,82 @@
+"""Weight-only int8 quantization (TPU-native bitsandbytes replacement).
+
+The reference loads 8/4-bit weights through CUDA bitsandbytes kernels
+(reference: src/models/_base.py:116-121, ``BitsAndBytesConfig``). On TPU the
+equivalent win is HBM bandwidth: store linear kernels as int8 with a per-output-
+channel f32 scale, and let XLA fuse the int8->bf16 upcast into the MXU matmul.
+The matmul computes ``(x @ q) * scale`` — mathematically identical to
+``x @ (q * scale)`` because the scale is constant along the contraction axis —
+so weights stay int8 in HBM (2x smaller than bf16, 4x smaller than f32) and are
+widened on the fly.
+
+Symmetric per-channel quantization: ``scale[o] = max|w[:, o]| / 127``,
+``q = round(w / scale)``. No activation quantization (weight-only), so no
+calibration pass is needed and accuracy loss is negligible for inference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "dense_out_dim",
+    "dequantize_int8",
+    "quantize_int8",
+    "quantize_params_int8",
+]
+
+# Parent-key names whose "w" must stay full-precision: patch embeddings are
+# consumed via raw jnp.dot at several call sites, and tied embedding tables
+# double as the LM head.
+DEFAULT_EXCLUDE = ("patch_embed", "embed_tokens")
+
+
+def quantize_int8(w: jax.Array) -> dict:
+    """[..., in, out] weight -> {"q": int8 [..., in, out], "scale": f32 [..., out]}.
+
+    The reduction runs over the contraction (``in``) axis so the scale can be
+    applied to the matmul *output*; leading axes (e.g. stacked scan layers) keep
+    independent scales.
+    """
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "scale": scale}
+
+
+def dequantize_int8(qp: dict, dtype=jnp.float32) -> jax.Array:
+    """Materialize the full-precision weight (debug/interop path)."""
+    return (qp["q"].astype(jnp.float32) * qp["scale"][..., None, :]).astype(dtype)
+
+
+def dense_out_dim(params: dict) -> int:
+    """Output feature count of a dense param dict, quantized or not."""
+    return int((params["w"] if "w" in params else params["w_q8"]["q"]).shape[-1])
+
+
+def quantize_params_int8(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
+    """Recursively replace every dense ``{"w": ...}`` leaf-dict with int8 form.
+
+    A node is quantized when it is a dict containing a >=2-D array under "w"
+    and its key in the parent is not in ``exclude``. Biases, norms, and
+    embedding tables pass through untouched. Works on stacked scan-layer
+    weights ([num_layers, in, out]) — each layer gets its own channel scales.
+    """
+
+    def walk(node, key: str | None):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (
+                key not in exclude
+                and w is not None
+                and hasattr(w, "ndim")
+                and w.ndim >= 2
+            ):
+                out = {k: v for k, v in node.items() if k != "w"}
+                out["w_q8"] = quantize_int8(w)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(tree, None)

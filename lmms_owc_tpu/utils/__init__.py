@@ -35,7 +35,7 @@ from lmms_owc_tpu.utils._data import (
     load_image_folder_as_hf_dataset,
     write_jsonl,
 )
-from lmms_owc_tpu.utils._logging import get_logger, rank_zero_only
+from lmms_owc_tpu.utils._logging import deprecated_positional, get_logger, rank_zero_only
 from lmms_owc_tpu.utils._tables import make_table
 
 __all__ = [
@@ -62,6 +62,7 @@ __all__ = [
     "parse_string_args",
     "pattern_match",
     "positional_deprecated",
+    "deprecated_positional",
     "rank_zero_only",
     "regex_replace",
     "request_cache_dir",

@@ -14,7 +14,7 @@ import os
 import sys
 from typing import Callable
 
-__all__ = ["get_logger", "rank_zero_only"]
+__all__ = ["deprecated_positional", "get_logger", "rank_zero_only"]
 
 _FORMAT = "%(asctime)s | %(levelname)-8s | %(name)s | %(message)s"
 
@@ -40,6 +40,32 @@ def rank_zero_only(fn: Callable) -> Callable:
         if _process_index() == 0:
             return fn(*args, **kwargs)
         return None
+
+    return wrapped
+
+
+def deprecated_positional(fn: Callable) -> Callable:
+    """Warn when a function is called with positional arguments beyond ``self``.
+
+    Reference parity: src/utils/_decorators.py:8-39 — used to migrate public APIs
+    toward keyword-only calls without breaking existing callers.
+    """
+    import inspect
+    import warnings
+
+    params = list(inspect.signature(fn).parameters)
+    allowed = 2 if params and params[0] in ("self", "cls") else 1
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        if len(args) > allowed:
+            warnings.warn(
+                f"{fn.__qualname__}: positional arguments beyond the first are deprecated; "
+                "pass them as keywords",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+        return fn(*args, **kwargs)
 
     return wrapped
 

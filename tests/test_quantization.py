@@ -1,0 +1,131 @@
+"""Weight-only int8 quantization (ops.quant) — the bitsandbytes replacement.
+
+Reference parity target: ``BitsAndBytesConfig`` 8-bit loading at
+src/models/_base.py:116-121, re-done as per-channel symmetric int8 with the
+upcast fused into the TPU matmul.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmms_owc_tpu.nn.layers import dense
+from lmms_owc_tpu.ops.quant import (
+    dense_out_dim,
+    dequantize_int8,
+    quantize_int8,
+    quantize_params_int8,
+)
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_error_bound(self):
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(64, 48).astype(np.float32))
+        qp = quantize_int8(w)
+        assert qp["q"].dtype == jnp.int8
+        assert qp["scale"].shape == (48,)
+        deq = dequantize_int8(qp)
+        # Symmetric rounding error is at most half a quantization step per column.
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        bound = np.asarray(qp["scale"]) * 0.5 + 1e-7
+        assert (err <= bound[None, :]).all()
+
+    def test_stacked_layers_get_per_layer_scales(self):
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(3, 16, 8).astype(np.float32))
+        w = w * jnp.asarray([1.0, 10.0, 100.0])[:, None, None]
+        qp = quantize_int8(w)
+        assert qp["q"].shape == (3, 16, 8)
+        assert qp["scale"].shape == (3, 8)
+        deq = np.asarray(dequantize_int8(qp))
+        rel = np.abs(deq - np.asarray(w)).max(axis=(1, 2)) / np.abs(np.asarray(w)).max(axis=(1, 2))
+        assert (rel < 0.01).all()
+
+    def test_dense_dispatch_matches_full_precision(self):
+        rng = np.random.RandomState(2)
+        params = {
+            "w": jnp.asarray(rng.randn(32, 24).astype(np.float32)),
+            "b": jnp.asarray(rng.randn(24).astype(np.float32)),
+        }
+        x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+        full = np.asarray(dense(params, x))
+        qparams = quantize_params_int8({"proj": params})["proj"]
+        assert "w" not in qparams and "b" in qparams
+        assert dense_out_dim(qparams) == 24
+        quant = np.asarray(dense(qparams, x))
+        cos = (full * quant).sum() / (np.linalg.norm(full) * np.linalg.norm(quant))
+        assert cos > 0.999
+        np.testing.assert_allclose(quant, full, rtol=0.05, atol=0.15)
+
+    def test_exclusions_preserved(self):
+        tree = {
+            "patch_embed": {"w": jnp.ones((8, 4))},
+            "embed_tokens": jnp.ones((10, 4)),
+            "mlp": {"up": {"w": jnp.ones((4, 8))}},
+        }
+        out = quantize_params_int8(tree)
+        assert "w" in out["patch_embed"]
+        assert out["embed_tokens"].shape == (10, 4)
+        assert "w_q8" in out["mlp"]["up"]
+
+
+class TestQuantizedDecoder:
+    def test_prefill_logits_close_and_generate_runs(self):
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+        config = qvl.Qwen2VLConfig.from_hf_dict(
+            dict(
+                vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+                tie_word_embeddings=True,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            )
+        )
+        params = qvl.init_decoder_params(jax.random.PRNGKey(0), config, jnp.float32)
+        qparams = quantize_params_int8(params)
+
+        rng = np.random.RandomState(3)
+        b, l = 2, 16
+        embeds = jnp.asarray(rng.randn(b, l, 64).astype(np.float32))
+        pos = jnp.broadcast_to(jnp.arange(l)[None, None, :], (3, b, l)).astype(jnp.int32)
+        mask = jnp.ones((b, l), jnp.int32)
+
+        logits_full, _ = qvl.prefill(params, embeds, pos, mask, config, cache_len=32)
+        logits_q8, _ = qvl.prefill(qparams, embeds, pos, mask, config, cache_len=32)
+        lf, lq = np.asarray(logits_full), np.asarray(logits_q8)
+        cos = (lf * lq).sum() / (np.linalg.norm(lf) * np.linalg.norm(lq))
+        assert cos > 0.99
+
+        next_pos = jnp.full((b,), l, jnp.int32)
+        tokens = qvl.greedy_generate(
+            qparams, embeds, pos, mask, next_pos, config,
+            max_new_tokens=4, cache_len=32,
+            eos_ids=jnp.asarray([127], jnp.int32),
+        )
+        assert np.asarray(tokens).shape == (b, 4)
+
+    def test_adapter_load_in_8bit_end_to_end(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model(
+            "qwen2-vl-tiny", batch_size=2, random_init=True,
+            dtype="float32", load_in_8bit=True,
+        )
+        assert "w_q8" in model.params["layers"]["attn"]["q"]
+
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task_dict = get_tasks_as_dict(["toy"], tm)
+        task = task_dict["toy"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy"] = task
+
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True,
+        )
+        assert "toy" in results["results"]
+        assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
