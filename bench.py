@@ -46,9 +46,14 @@ def bench_simmatch() -> None:
     refs = [f"a photo of a {words[i % 8]}" for i in range(n_pairs)]
     preds = [f"this looks like a {words[rng.randint(8)]} in the wild" for _ in range(n_pairs)]
 
-    # Warm the exact (batch, length) bucket programs the timed loop will hit.
-    encoder.encode(refs[:1024])
-    encoder.encode(preds[:1024])
+    # Warm the exact (batch, length) bucket programs the timed loop will hit,
+    # on warmup-only strings (disjoint from timed data as timing hygiene: no
+    # caching layer between client and TPU can blend warmup into the timed run).
+    # encode() returns numpy, which forces execution — the TPU tunnel defers
+    # dispatch until materialization, so only fetch-terminated regions are real.
+    warm_refs = [f"warmup only {words[(i + 3) % 8]} sample" for i in range(1024)]
+    encoder.encode(warm_refs)
+    encoder.encode([s.upper() for s in warm_refs])
     t0 = time.perf_counter()
     refs_z = encoder.encode(refs)
     preds_z = encoder.encode(preds)
@@ -101,9 +106,13 @@ def main() -> None:
     )
 
     rng = np.random.RandomState(0)
+    # Extra tail docs are warmup-only, keeping warmup inputs disjoint from the
+    # timed inputs (timing hygiene). Note the timed region is sound w.r.t. the
+    # tunnel's deferred execution: generate_until fetches tokens to host per
+    # chunk, which forces every dispatch to actually run inside the window.
     docs = [
         {"image": Image.fromarray(rng.randint(0, 255, (image_hw, image_hw, 3), dtype=np.uint8))}
-        for _ in range(num_images)
+        for _ in range(num_images + batch_size)
     ]
 
     class _BenchTask:
@@ -127,8 +136,9 @@ def main() -> None:
                 "test",
             )
 
-    # Warmup: compile vision + prefill + decode programs on a small batch.
-    warm = [_Req(i) for i in range(min(batch_size, num_images))]
+    # Warmup: compile vision + prefill + decode programs on a small batch of
+    # warmup-only docs (disjoint from the timed docs, see above).
+    warm = [_Req(num_images + i) for i in range(batch_size)]
     model.generate_until(warm)
 
     requests = [_Req(i) for i in range(num_images)]
