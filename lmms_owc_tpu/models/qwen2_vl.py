@@ -68,6 +68,17 @@ PRESET_CONFIGS = {
         rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
         vision_config=dict(depth=2, embed_dim=32, num_heads=4, mlp_ratio=2.0, hidden_size=64),
     ),
+    # CPU-testable miniature for the 2.5 tower (window + global attention layers).
+    "qwen2.5-vl-tiny": dict(
+        model_type="qwen2_5_vl",
+        vocab_size=152064, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, intermediate_size=128, tie_word_embeddings=True,
+        rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_config=dict(
+            depth=2, hidden_size=32, num_heads=4, intermediate_size=64,
+            out_hidden_size=64, window_size=56, fullatt_block_indexes=[1],
+        ),
+    ),
 }
 
 _IM_START = "<|im_start|>"
@@ -377,73 +388,83 @@ class Qwen2VL(Model):
         return vision_flat, ordered_spans, grids
 
     def _encode_images_flat_v25(self, all_visuals: list):
-        """Qwen2.5-VL vision path: window reorder + block-diagonal window attention."""
+        """Qwen2.5-VL vision path: uniform window layout, same-grid images batched.
+
+        Tokens are gathered into the [W, S] padded-window layout on device (one
+        jnp.take per size group); the tower runs batched window attention plus
+        global layers, and a second gather restores original merge-unit order.
+        No O(P^2) mask is built or transferred.
+        """
         import jax.numpy as jnp
 
         from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
         from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host
 
         v25 = self.vision25_config
-        merge_sq = v25.spatial_merge_size ** 2
+        mu = v25.spatial_merge_size ** 2
         factor = v25.patch_size * v25.spatial_merge_size
         dtype = self.params["vision"]["patch_embed"]["w"].dtype
 
-        group_outputs: list = []
-        spans: list = []
+        resized: list = []
         grids: list = []
-        flat_offset = 0
         for image in all_visuals:
             chw, (rh, rw) = resize_host(image, self.min_pixels, self.max_pixels, factor)
-            grid = (1, rh // v25.patch_size, rw // v25.patch_size)
-            grids.append(grid)
-            patches = np.asarray(
-                patchify_images_batch(
-                    jnp.asarray(chw[None]), v25.patch_size, v25.temporal_patch_size,
-                    v25.spatial_merge_size, dtype,
-                )
-            )[0]
-            num_patches = patches.shape[0]
-            window_index, window_ids = qvl25.get_window_order(grid, v25)
-            patches = patches.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
-                num_patches, -1
-            )
-            freqs = qvl25.vision25_rope_freqs(grid, v25)
-            freqs = freqs.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
-                num_patches, -1
-            )
+            resized.append(chw)
+            grids.append((1, rh // v25.patch_size, rw // v25.patch_size))
 
-            bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
-            patches_p = np.zeros((bucket, patches.shape[1]), patches.dtype)
-            patches_p[:num_patches] = patches
-            freqs_p = np.zeros((bucket, freqs.shape[1]), np.float32)
-            freqs_p[:num_patches] = freqs
-            win_p = np.full(bucket, -1, np.int64)
-            win_p[:num_patches] = window_ids
-            valid = np.zeros(bucket, np.int32)
-            valid[:num_patches] = 1
-            pair_mask = (win_p[:, None] == win_p[None, :]) & (valid[:, None] & valid[None, :]).astype(bool)
+        by_size: dict = {}
+        for i, g in enumerate(grids):
+            by_size.setdefault(g, []).append(i)
+
+        group_outputs: list = []
+        spans: dict[int, tuple[int, int]] = {}
+        flat_offset = 0
+        for grid, indices in by_size.items():
+            n = len(indices)
+            stacked = np.stack([resized[i] for i in indices])
+            patches = patchify_images_batch(
+                jnp.asarray(stacked), v25.patch_size, v25.temporal_patch_size,
+                v25.spatial_merge_size, dtype,
+            )  # [n, P, patch_dim], merge units contiguous
+            n_units = patches.shape[1] // mu
+
+            slot_src, num_windows, s_tokens = qvl25.get_window_layout(grid, v25)
+            valid_units = slot_src >= 0
+            safe_src = np.where(valid_units, slot_src, 0)
+            tok_idx = (safe_src[:, None] * mu + np.arange(mu)[None, :]).reshape(-1)
+            valid = np.repeat(valid_units, mu).astype(np.int32)  # [W*S]
+
+            gathered = jnp.take(patches, jnp.asarray(tok_idx), axis=1)
+            gathered = gathered * jnp.asarray(valid, dtype)[None, :, None]
+            freqs = np.asarray(qvl25.vision25_rope_freqs(grid, v25))[tok_idx]
+            freqs = freqs * valid[:, None]
 
             out = qvl25.vision25_encode(
                 self.params["vision"],
-                jnp.asarray(patches_p),
-                jnp.asarray(freqs_p),
-                jnp.asarray(pair_mask),
-                jnp.asarray(valid),
+                gathered.reshape(n, num_windows, s_tokens, -1),
+                jnp.broadcast_to(
+                    jnp.asarray(freqs, np.float32).reshape(1, num_windows, s_tokens, -1),
+                    (n, num_windows, s_tokens, freqs.shape[-1]),
+                ),
+                jnp.broadcast_to(
+                    jnp.asarray(valid.reshape(1, num_windows, s_tokens)),
+                    (n, num_windows, s_tokens),
+                ),
                 v25,
-            )  # [bucket/merge_sq, out_hidden] in window order
-            n_units = num_patches // merge_sq
-            reverse = np.argsort(window_index)
-            restored = out[:n_units][jnp.asarray(reverse)]
-            group_outputs.append(restored)
-            spans.append((flat_offset, n_units))
-            flat_offset += n_units
-
-        import jax.numpy as jnp  # noqa: F811
+            )  # [n, W*S/mu, out_hidden] in slot order
+            # Restore original merge-unit order: slot position of each source unit.
+            pos_of = np.zeros(n_units, np.int64)
+            pos_of[slot_src[valid_units]] = np.where(valid_units)[0]
+            restored = jnp.take(out, jnp.asarray(pos_of), axis=1)  # [n, n_units, H]
+            group_outputs.append(restored.reshape(n * n_units, -1))
+            for row, idx in enumerate(indices):
+                spans[idx] = (flat_offset + row * n_units, n_units)
+            flat_offset += n * n_units
 
         vision_flat = (
             group_outputs[0] if len(group_outputs) == 1 else jnp.concatenate(group_outputs)
         )
-        return vision_flat, spans, grids
+        return vision_flat, [spans[i] for i in range(len(all_visuals))], grids
 
     def _encode_images(self, visuals: list):
         """Compatibility wrapper: per-image merged embeddings as host arrays."""
@@ -728,4 +749,11 @@ def qwen2_5_vl_3b(**kwargs) -> Qwen2VL:
 def qwen2_vl_tiny(**kwargs) -> Qwen2VL:
     """Miniature Qwen2-VL for CPU tests and pipeline smoke runs."""
     kwargs.setdefault("preset", "qwen2-vl-tiny")
+    return Qwen2VL(**kwargs)
+
+
+@register_model("qwen2.5-vl-tiny")
+def qwen2_5_vl_tiny(**kwargs) -> Qwen2VL:
+    """Miniature Qwen2.5-VL (window + global vision layers) for CPU tests."""
+    kwargs.setdefault("preset", "qwen2.5-vl-tiny")
     return Qwen2VL(**kwargs)

@@ -6,9 +6,13 @@ SiLU-gated MLP with biases, window attention (tokens reordered into
 ``fullatt_block_indexes`` layers attend globally), and an RMSNorm patch merger
 projecting to ``out_hidden_size``.
 
-Window attention is realized as a block-diagonal pair mask over the reordered
-sequence (host-computed per grid); at classification-benchmark resolutions the
-attention FLOPs are minor next to the MLP, so the dense-masked form is used.
+Window attention is realized TPU-first: tokens are laid out as a uniformly
+padded ``[num_windows, tokens_per_window]`` grid (every window the same static
+shape, edge windows padded), so window layers run as a *batched* small
+attention over [N*W, S] — O(P*S) instead of the O(P^2) dense pair-mask — and
+the four ``fullatt_block_indexes`` layers simply reshape the same buffer to
+[N, W*S] and attend globally with a validity mask. Images of the same grid
+batch along N exactly like the Qwen2-VL tower.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ log = get_logger(__name__)
 __all__ = [
     "Qwen25VisionConfig",
     "convert_hf_vision25_weights",
+    "get_window_layout",
     "get_window_order",
     "init_vision25_params",
     "vision25_encode",
@@ -107,6 +112,35 @@ def get_window_order(grid: tuple[int, int, int], config: Qwen25VisionConfig):
     return window_index, window_ids
 
 
+def get_window_layout(grid: tuple[int, int, int], config: Qwen25VisionConfig):
+    """Uniform padded window layout for one grid (TPU-native form of get_window_index).
+
+    Every window gets the same static token count; edge windows carry padding
+    slots. Merge units stay contiguous (mu tokens each), matching the patchify
+    order, so the device-side gather is ``slot_src*mu + arange(mu)``.
+
+    Returns:
+        slot_src: [num_windows * win^2] source merge-unit index per slot (-1 = pad).
+        num_windows: windows in this grid (after padding to win multiples).
+        tokens_per_window: win^2 * merge^2 (static).
+    """
+    t, h, w = grid
+    merge = config.spatial_merge_size
+    mu = merge * merge
+    llm_h, llm_w = h // merge, w // merge
+    win = config.window_size // merge // config.patch_size
+
+    index = np.arange(t * llm_h * llm_w).reshape(t, llm_h, llm_w)
+    pad_h = (-llm_h) % win
+    pad_w = (-llm_w) % win
+    num_h, num_w = (llm_h + pad_h) // win, (llm_w + pad_w) // win
+    padded = np.full((t, llm_h + pad_h, llm_w + pad_w), -1, np.int64)
+    padded[:, :llm_h, :llm_w] = index
+    padded = padded.reshape(t, num_h, win, num_w, win).transpose(0, 1, 3, 2, 4)
+    slot_src = padded.reshape(-1)
+    return slot_src, t * num_h * num_w, win * win * mu
+
+
 def vision25_rope_freqs(grid: tuple[int, int, int], config: Qwen25VisionConfig) -> np.ndarray:
     """2D rotary table per packed patch [P, head_dim/2] (pre-reorder order)."""
     from lmms_owc_tpu.nn.qwen2_vl import Qwen2VLVisionConfig, vision_rope_cos_sin
@@ -129,41 +163,50 @@ def vision25_encode(
     params: dict,
     patches: jax.Array,
     rope_freqs: jax.Array,
-    window_mask: jax.Array,
     valid_mask: jax.Array,
     config: Qwen25VisionConfig,
 ) -> jax.Array:
-    """Qwen2.5 vision tower over one image's window-reordered (padded) patches.
+    """Qwen2.5 vision tower over a batch of same-grid images in window layout.
 
     Args:
-        patches: [P, patch_dim] (already permuted into window order, padded to bucket).
-        rope_freqs: [P, head_dim/2] (same order).
-        window_mask: [P, P] bool allow-mask (block-diagonal windows AND validity).
-        valid_mask: [P] 1 = real patch (for the full-attention layers).
-    Returns: [P/merge^2, out_hidden_size] merged embeddings (window order).
+        patches: [N, W, S, patch_dim] — N images, W windows, S tokens per window
+            (uniform layout from :func:`get_window_layout`; padding slots zero).
+        rope_freqs: [N, W, S, head_dim/2] (same layout, zero at padding).
+        valid_mask: [N, W, S] 1 = real patch.
+    Returns: [N, W*S/merge^2, out_hidden_size] merged embeddings in slot order
+        (padding units garbage — drop via the layout's slot_src on the caller).
+
+    Window layers attend within each [window] (batched N*W small attentions);
+    the ``fullatt_block_indexes`` layers reshape the same token buffer to
+    [N, W*S] and attend across the whole image. Fully-padded key rows are safe:
+    masked scores are a finite -1e30, so softmax degrades to uniform, not NaN.
     """
     param_dtype = params["patch_embed"]["w"].dtype
-    x = jnp.dot(patches.astype(param_dtype), params["patch_embed"]["w"], preferred_element_type=param_dtype)
+    n, wn, s, _ = patches.shape
+    tn = n * wn * s
+    x = jnp.dot(
+        patches.astype(param_dtype).reshape(tn, -1),
+        params["patch_embed"]["w"],
+        preferred_element_type=param_dtype,
+    )
 
-    cos = jnp.cos(rope_freqs)[None, :, :]
-    sin = jnp.sin(rope_freqs)[None, :, :]
-    P = x.shape[0]
+    cos = jnp.cos(rope_freqs).reshape(tn, -1)
+    sin = jnp.sin(rope_freqs).reshape(tn, -1)
     nh, hd = config.num_heads, config.head_dim
 
     def make_block(layer, use_full: bool):
+        b, l = (n, wn * s) if use_full else (n * wn, s)
+
         def block(x):
             normed = rms_norm(layer["norm1"], x, eps=1e-6)
-            qkv = dense(layer["qkv"], normed).reshape(P, 3, nh, hd)
-            q = qkv[:, 0].transpose(1, 0, 2)[None]
-            k = qkv[:, 1].transpose(1, 0, 2)[None]
-            v = qkv[:, 2].transpose(1, 0, 2)[None]
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-            if use_full:
-                attn = attention_reference(q, k, v, kv_mask=valid_mask[None])
-            else:
-                attn = attention_reference(q, k, v, pair_mask=window_mask)
-            attn = attn[0].transpose(1, 0, 2).reshape(P, nh * hd)
+            qkv = dense(layer["qkv"], normed).reshape(tn, 3, nh, hd)
+            q = qkv[:, 0].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+            k = qkv[:, 1].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+            v = qkv[:, 2].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos.reshape(b, l, -1), sin.reshape(b, l, -1))
+            k = apply_rope(k, cos.reshape(b, l, -1), sin.reshape(b, l, -1))
+            attn = attention_reference(q, k, v, kv_mask=valid_mask.reshape(b, l))
+            attn = attn.transpose(0, 2, 1, 3).reshape(tn, nh * hd)
             x = x + dense(layer["proj"], attn)
             normed2 = rms_norm(layer["norm2"], x, eps=1e-6)
             gated = jax.nn.silu(dense(layer["mlp_gate"], normed2)) * dense(layer["mlp_up"], normed2)
@@ -179,7 +222,7 @@ def vision25_encode(
     merged_dim = config.hidden_size * config.spatial_merge_size**2
     x = rms_norm(params["merger"]["ln_q"], x, eps=1e-6).reshape(-1, merged_dim)
     x = dense(params["merger"]["fc2"], gelu(dense(params["merger"]["fc1"], x)))
-    return x
+    return x.reshape(n, (wn * s) // config.spatial_merge_size**2, -1)
 
 
 # -------------------------------------------------------------------- weights

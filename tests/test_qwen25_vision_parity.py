@@ -49,36 +49,58 @@ class TestQwen25Vision:
         assert len(window_ids) == 64
         assert window_ids.max() == 3
 
-    def test_tower_matches_hf(self, setup):
+    @staticmethod
+    def _run_tower(params, config, patches, grid):
+        """Window-layout encode of one image + restore to original unit order."""
         from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
 
+        mu = config.spatial_merge_size ** 2
+        slot_src, num_windows, s_tokens = qvl25.get_window_layout(grid, config)
+        valid_units = slot_src >= 0
+        safe_src = np.where(valid_units, slot_src, 0)
+        tok_idx = (safe_src[:, None] * mu + np.arange(mu)[None, :]).reshape(-1)
+        valid = np.repeat(valid_units, mu).astype(np.int32)
+        gathered = patches[tok_idx] * valid[:, None]
+        freqs = qvl25.vision25_rope_freqs(grid, config)[tok_idx] * valid[:, None]
+        out = qvl25.vision25_encode(
+            params,
+            jnp.asarray(gathered).reshape(1, num_windows, s_tokens, -1),
+            jnp.asarray(freqs, jnp.float32).reshape(1, num_windows, s_tokens, -1),
+            jnp.asarray(valid).reshape(1, num_windows, s_tokens),
+            config,
+        )
+        n_units = patches.shape[0] // mu
+        pos_of = np.zeros(n_units, np.int64)
+        pos_of[slot_src[valid_units]] = np.where(valid_units)[0]
+        return np.asarray(out)[0][pos_of]
+
+    def test_tower_matches_hf(self, setup):
         tower, config, params = setup
         rng = np.random.RandomState(0)
-        grid = (1, 8, 8)
-        num_patches = 64
-        patches = rng.randn(num_patches, config.patch_dim).astype(np.float32)
+        grid = (1, 8, 8)  # divides evenly: no padded window slots
+        patches = rng.randn(64, config.patch_dim).astype(np.float32)
 
         with torch.no_grad():
             hf_out = tower(
                 torch.tensor(patches), grid_thw=torch.tensor([grid], dtype=torch.long)
             ).numpy()
 
-        merge_sq = config.spatial_merge_size ** 2
-        window_index, window_ids = qvl25.get_window_order(grid, config)
-        reordered = patches.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
-            num_patches, -1
-        )
-        freqs = qvl25.vision25_rope_freqs(grid, config)
-        freqs = freqs.reshape(num_patches // merge_sq, merge_sq, -1)[window_index].reshape(
-            num_patches, -1
-        )
-        valid = np.ones(num_patches, np.int32)
-        pair_mask = window_ids[:, None] == window_ids[None, :]
-        out = qvl25.vision25_encode(
-            params, jnp.asarray(reordered), jnp.asarray(freqs),
-            jnp.asarray(pair_mask), jnp.asarray(valid), config,
-        )
-        restored = np.asarray(out)[np.argsort(window_index)]
+        restored = self._run_tower(params, config, patches, grid)
+        np.testing.assert_allclose(restored, hf_out, rtol=5e-3, atol=5e-3)
+
+    def test_tower_matches_hf_padded_windows(self, setup):
+        """Non-divisible grid: edge windows carry padding slots (5x5 units, win=2)."""
+        tower, config, params = setup
+        rng = np.random.RandomState(1)
+        grid = (1, 10, 10)
+        patches = rng.randn(100, config.patch_dim).astype(np.float32)
+
+        with torch.no_grad():
+            hf_out = tower(
+                torch.tensor(patches), grid_thw=torch.tensor([grid], dtype=torch.long)
+            ).numpy()
+
+        restored = self._run_tower(params, config, patches, grid)
         np.testing.assert_allclose(restored, hf_out, rtol=5e-3, atol=5e-3)
 
 
@@ -87,3 +109,25 @@ class TestTinyV25Adapter:
         from lmms_owc_tpu.models import MODELS
 
         assert "qwen2.5-vl-7b" in MODELS and "qwen2.5-vl-3b" in MODELS
+
+    def test_end_to_end_eval(self, toy_task_path, toy_dataset):
+        """Full evaluate() through the v2.5 window-layout vision path."""
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model("qwen2.5-vl-tiny", batch_size=2, random_init=True, dtype="float32")
+        assert model.is_v25
+
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2.5-vl-tiny")
+        task_dict = get_tasks_as_dict(["toy"], tm)
+        task = task_dict["toy"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy"] = task
+
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True,
+        )
+        assert "toy" in results["results"]
+        assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
