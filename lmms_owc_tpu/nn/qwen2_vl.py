@@ -30,10 +30,13 @@ from lmms_owc_tpu.nn.layers import (
     gelu,
     layer_norm,
     mlp_swiglu,
-    repeat_kv,
     rms_norm,
 )
-from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
+from lmms_owc_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+    gqa_attention_reference,
+)
 from lmms_owc_tpu.utils import get_logger
 
 log = get_logger(__name__)
@@ -587,17 +590,16 @@ def _attention_block(layer, x, cos, sin, config, kv_mask, causal, cache=None, ca
     k = apply_rope(k, cos, sin)
 
     if cache is None:
-        out = flash_attention(
-            q, repeat_kv(k, nh // kvh), repeat_kv(v, nh // kvh), causal=causal, kv_mask=kv_mask
-        )
+        # GQA K/V passed raw: the XLA path groups q instead of repeating the cache.
+        out = flash_attention(q, k, v, causal=causal, kv_mask=kv_mask)
         new_kv = (k, v)
     else:
         cache_k, cache_v = cache
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k, cache_pos, axis=2)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v, cache_pos, axis=2)
-        out = attention_reference(
-            q, repeat_kv(cache_k, nh // kvh), repeat_kv(cache_v, nh // kvh), kv_mask=kv_mask
-        )
+        # GQA form: reads the cache once instead of materializing nh/kvh copies —
+        # the cache read dominates decode-step HBM traffic after the weights.
+        out = gqa_attention_reference(q, cache_k, cache_v, kv_mask=kv_mask)
         new_kv = (cache_k, cache_v)
 
     out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)

@@ -20,7 +20,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flash_attention", "attention_reference"]
+__all__ = ["flash_attention", "attention_reference", "gqa_attention_reference"]
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
@@ -68,6 +68,44 @@ def attention_reference(
         scores = jnp.where(pair_mask[:, None, :, :].astype(bool), scores, _NEG_INF)
     weights = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", weights.astype(v.dtype), v)
+
+
+def gqa_attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """Grouped-query attention without materializing repeated K/V heads.
+
+    ``repeat_kv`` + plain attention makes XLA write out the broadcast cache
+    (num_heads/num_kv_heads times the KV bytes) before the dot — on the decode
+    path that multiplies the dominant HBM read. Here q is grouped to
+    [B, KVH, G, Lq, D] and contracted against the raw [B, KVH, Lk, D] cache, so
+    the cache is read once.
+
+    Args: q [B, H, Lq, D]; k, v [B, KVH, Lk, D] with H % KVH == 0.
+    """
+    b, h, lq, d = q.shape
+    kvh = k.shape[1]
+    g = h // kvh
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qg = q.reshape(b, kvh, g, lq, d)
+    scores = jnp.einsum("bkgqd,bkld->bkgql", qg, k, preferred_element_type=jnp.float32) * scale
+    if causal:
+        lk = k.shape[2]
+        q_idx = jnp.arange(lq)[:, None] + (lk - lq)
+        k_idx = jnp.arange(lk)[None, :]
+        scores = jnp.where(k_idx <= q_idx, scores, _NEG_INF)
+    if kv_mask is not None:
+        scores = jnp.where(kv_mask[:, None, None, None, :].astype(bool), scores, _NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgql,bkld->bkgqd", weights.astype(v.dtype), v)
+    return out.reshape(b, h, lq, d)
 
 
 def _flash_kernel(
@@ -146,7 +184,9 @@ def flash_attention(
     """Multi-head attention. Pallas kernel on TPU; jnp reference elsewhere.
 
     Args:
-        q: [B, H, Lq, D]; k, v: [B, H, Lk, D] (same H — repeat for GQA upstream).
+        q: [B, H, Lq, D]; k, v: [B, H, Lk, D] or GQA [B, KVH, Lk, D] with
+            H % KVH == 0 (the XLA path contracts grouped q against the raw KV —
+            no repeated-head materialization; the Pallas path broadcasts).
         causal: apply causal mask aligned to the sequence end (prefill).
         kv_mask: [B, Lk] validity mask (1 = attend).
         scale: score scale; defaults to 1/sqrt(D).
@@ -166,7 +206,14 @@ def flash_attention(
     b, h, lq, d = q.shape
     lk = k.shape[2]
     if not use_pallas or lq % block_q != 0 or lk % block_k != 0 or lq < block_q:
+        if k.shape[1] != h:
+            return gqa_attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
         return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
+    if k.shape[1] != h:
+        kvh = k.shape[1]
+        rep = h // kvh
+        k = jnp.broadcast_to(k[:, :, None], (b, kvh, rep, lk, d)).reshape(b, h, lk, d)
+        v = jnp.broadcast_to(v[:, :, None], (b, kvh, rep, lk, d)).reshape(b, h, lk, d)
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
