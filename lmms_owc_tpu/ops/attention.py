@@ -198,10 +198,19 @@ def flash_attention(
         if _USE_PALLAS_OVERRIDE is not None:
             use_pallas = _USE_PALLAS_OVERRIDE
         else:
-            # A/B on v5e: XLA's fused attention wins at short/medium sequences
-            # (<=1k, head_dim 80-128); the flash kernel's VMEM tiling pays off once
-            # the [Lq, Lk] score tile stops fitting nicely (long-context prefill).
-            use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= 2048
+            # Dispatch by END-TO-END A/B, not kernel microbenchmarks: on v5e the
+            # full eval pipeline runs 18.6-18.9 img/s with XLA attention vs
+            # 14.8-15.0 with the flash kernel at kv 512-1024, even though
+            # isolated chained-timing of the tower/prefill says the opposite
+            # (kernel 1.7x "faster") — isolated timings through the deferred-
+            # execution tunnel do not predict e2e. Keep XLA below 2k context;
+            # the kernel's VMEM tiling is for long-context prefill where the
+            # f32 score matrix genuinely stops fitting. Tunable for experiments
+            # via LMMS_OWC_PALLAS_MIN_KV.
+            import os
+
+            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "2048"))
+            use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= min_kv
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
