@@ -365,14 +365,18 @@ class Qwen2VL(Model):
             patches = jnp.pad(patches, ((0, 0), (0, bucket - num_patches), (0, 0)))
             freqs = np.zeros((bucket, v.head_dim // 2), np.float32)
             freqs[:num_patches] = qvl.vision_rope_cos_sin([grid], v)
-            mask = np.zeros(bucket, np.int32)
-            mask[:num_patches] = 1
             n = len(indices)
+            if num_patches == bucket:
+                patch_mask = None  # all patches real: skip masked-select on scores
+            else:
+                mask = np.zeros(bucket, np.int32)
+                mask[:num_patches] = 1
+                patch_mask = jnp.broadcast_to(jnp.asarray(mask)[None], (n, bucket))
             out = qvl.vision_encode_batch(
                 self.params["vision"],
                 patches,
                 jnp.broadcast_to(jnp.asarray(freqs)[None], (n, bucket, freqs.shape[1])),
-                jnp.broadcast_to(jnp.asarray(mask)[None], (n, bucket)),
+                patch_mask,
                 v,
             )  # [n, bucket/merge_sq, hidden]
             merged_bucket = bucket // merge_sq

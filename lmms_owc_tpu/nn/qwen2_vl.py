@@ -419,7 +419,7 @@ def vision_encode_batch(
     params: dict,
     patches: jax.Array,
     rope_freqs: jax.Array,
-    patch_mask: jax.Array,
+    patch_mask: jax.Array | None,
     config: Qwen2VLVisionConfig,
 ) -> jax.Array:
     """Vision tower over a batch of images' packed (padded) patches.
@@ -430,6 +430,8 @@ def vision_encode_batch(
     Args:
         patches: [N, P, patch_dim] flattened conv patches (P padded to a bucket).
         rope_freqs: [N, P, head_dim/2] from :func:`vision_rope_cos_sin` (zero at padding).
+        patch_mask: [N, P] 1 = real patch, or None when every patch is real
+            (P == bucket) — skips the masked-select over the score tensor.
         patch_mask: [N, P] 1 = real patch.
     Returns: [N, P/merge^2, hidden_size] merged vision embeddings (padding rows garbage).
     """
