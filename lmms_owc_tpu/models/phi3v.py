@@ -5,9 +5,14 @@ Functional parity with reference src/models/_phi3v.py (registered at :470,
 feature concat + GELU projection with row separators, Phi-3-mini decoder (fused
 qkv/gate_up weights split at load, longrope scaling).
 
-Note: the reference loads this model via trust_remote_code; the HD multi-crop
-transform is approximated here with the global 336px crop (`num_crops=0` mode) —
-tiled HD crops are a follow-up.
+HD multi-crop transform: the published Phi-3-vision preprocessing (transpose-if-
+portrait, scale to the largest hd_num-bounded 336 multiple, white-pad height to a
+336 multiple, tile into 336px crops + a global 336 view; features assembled as
+[sub rows + sub_GN per row, glb_GN, global rows + sub_GN per row]). The reference
+loads this via trust_remote_code so there is no local torch implementation to
+diff against; the layout here follows the released processing_phi3_v.py algorithm
+and is validated structurally (token-count formula (h*w+1)*144 + 12*(h+1) + 1).
+``num_crops=0`` selects the simpler global-crop-only mode.
 """
 
 from __future__ import annotations
@@ -114,12 +119,14 @@ class Phi3v(Model):
         self,
         pretrained: str | None = None,
         preset: str = "phi3v",
+        num_crops: int = 16,
         random_init: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
     ) -> None:
         self.pretrained = pretrained
         self.preset = preset
+        self.num_crops = int(num_crops)
         self.random_init = random_init or pretrained is None
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)
@@ -241,37 +248,114 @@ class Phi3v(Model):
     def _image_token_id(self) -> int:
         return IMAGE_TOKEN_ID
 
+    @staticmethod
+    def _to_chw_normalized(img) -> np.ndarray:
+        from lmms_owc_tpu.ops.image import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+        arr = np.asarray(img).astype(np.float32) / 255.0
+        arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
+        return arr.transpose(2, 0, 1)
+
+    def _hd_transform(self, image, hd_num: int):
+        """Published Phi-3-vision HD transform (processing_phi3_v.py algorithm):
+        transpose portrait images, scale width to the largest hd_num-bounded
+        multiple of the crop size, white-pad height (centered) to a multiple,
+        transpose back."""
+        from PIL import Image
+
+        size = self.vision_config.image_size
+        img = image.convert("RGB")
+        w, h = img.size
+        trans = False
+        if w < h:
+            img = img.transpose(Image.TRANSPOSE)
+            trans = True
+            w, h = img.size
+        ratio = w / h
+        scale = 1
+        while scale * np.ceil(scale / ratio) <= hd_num:
+            scale += 1
+        scale -= 1
+        new_w = max(int(scale * size), size)
+        new_h = max(int(new_w / ratio), 1)
+        img = img.resize((new_w, new_h), Image.BICUBIC)
+        target_h = int(np.ceil(new_h / size) * size)
+        top = (target_h - new_h) // 2
+        canvas = Image.new("RGB", (new_w, target_h), (255, 255, 255))
+        canvas.paste(img, (0, top))
+        if trans:
+            canvas = canvas.transpose(Image.TRANSPOSE)
+        return canvas
+
+    def _units_2x2(self, feats: np.ndarray) -> np.ndarray:
+        """[N, side^2, D] CLIP features -> [N, side/2, side/2, 4D] merged units."""
+        side = self.vision_config.image_size // self.vision_config.patch_size
+        half = side // 2
+        d = feats.shape[-1]
+        f = feats.reshape(-1, half, 2, half, 2, d).transpose(0, 1, 3, 2, 4, 5)
+        return f.reshape(-1, half, half, 4 * d)
+
     def _encode_one_image(self, image) -> np.ndarray:
-        """Global 336 crop -> CLIP(-2) -> 2x2 concat -> row separators -> projection."""
+        """HD crops + global view -> CLIP(-2) -> 2x2 concat -> separator layout.
+
+        Sequence layout (reference remote-code semantics): sub-image unit rows with
+        a sub_GN at each row end, then glb_GN, then global unit rows with sub_GN
+        per row. Token count = (h_crop*w_crop)*half^2 + h_crop*half + 1 + half*(half+1).
+        ``num_crops=0``: global view only ([global rows + sub_GN, glb_GN]).
+        """
         import jax.numpy as jnp
         from PIL import Image
 
         from lmms_owc_tpu.nn.clip import clip_vision_forward
         from lmms_owc_tpu.nn.layers import dense, gelu
-        from lmms_owc_tpu.ops.image import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
 
         size = self.vision_config.image_size
-        img = image.convert("RGB").resize((size, size), Image.BICUBIC)
-        arr = np.asarray(img).astype(np.float32) / 255.0
-        arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
-        pixels = arr.transpose(2, 0, 1)[None]
-
+        half = (size // self.vision_config.patch_size) // 2
         param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        sub_gn = np.asarray(self.params["sub_gn"], np.float32)
+        glb_gn = np.asarray(self.params["glb_gn"], np.float32)
+
+        if self.num_crops <= 0:
+            pixels = self._to_chw_normalized(image.convert("RGB").resize((size, size), Image.BICUBIC))[None]
+            h_crop = w_crop = 0
+        else:
+            hd = self._hd_transform(image, self.num_crops)
+            w_px, h_px = hd.size
+            w_crop, h_crop = w_px // size, h_px // size
+            hd_arr = self._to_chw_normalized(hd)
+            crops = (
+                hd_arr.reshape(3, h_crop, size, w_crop, size)
+                .transpose(1, 3, 0, 2, 4)
+                .reshape(h_crop * w_crop, 3, size, size)
+            )
+            glb = self._to_chw_normalized(hd.resize((size, size), Image.BICUBIC))
+            pixels = np.concatenate([glb[None], crops])
+
         feats = clip_vision_forward(
             self.params["vision"], jnp.asarray(pixels, param_dtype), self.vision_config,
             feature_layer=-2,
         )[:, 1:, :]  # drop CLS
-        side = size // self.vision_config.patch_size
-        d = feats.shape[-1]
-        # 2x2 spatial concat: [side, side, D] -> [side/2, side/2, 4D].
-        grid = feats.reshape(side // 2, 2, side // 2, 2, d).transpose(0, 2, 1, 3, 4)
-        grid = np.asarray(grid.reshape(side // 2, side // 2, 4 * d), np.float32)
-        # Append the sub_GN separator at the end of each row, then flatten.
-        sub = np.asarray(self.params["sub_gn"], np.float32)
-        rows = np.concatenate([grid, np.broadcast_to(sub, (side // 2, 1, 4 * d))], axis=1)
-        flat = rows.reshape(-1, 4 * d)
-        # Global separator token after the image block.
-        flat = np.concatenate([flat, np.asarray(self.params["glb_gn"], np.float32)[None]], axis=0)
+        units = self._units_2x2(np.asarray(feats, np.float32))
+        d4 = units.shape[-1]
+
+        def with_row_separators(grid):  # [R, C, 4D] -> [(R*(C+1)), 4D]
+            rows = np.concatenate(
+                [grid, np.broadcast_to(sub_gn, (grid.shape[0], 1, d4))], axis=1
+            )
+            return rows.reshape(-1, d4)
+
+        glb_flat = with_row_separators(units[0])
+        if self.num_crops <= 0:
+            flat = np.concatenate([glb_flat, glb_gn[None]], axis=0)
+        else:
+            sub_grid = (
+                units[1:]
+                .reshape(h_crop, w_crop, half, half, d4)
+                .transpose(0, 2, 1, 3, 4)
+                .reshape(h_crop * half, w_crop * half, d4)
+            )
+            flat = np.concatenate([with_row_separators(sub_grid), glb_gn[None], glb_flat], axis=0)
+
         proj = dense(self.params["projector"]["fc2"],
                      gelu(dense(self.params["projector"]["fc1"], jnp.asarray(flat, param_dtype))))
         return np.asarray(proj, np.float32)

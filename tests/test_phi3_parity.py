@@ -82,3 +82,44 @@ class TestPhi3vAdapter:
             model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
         )
         assert "exact_match,none" in results["results"]["toy"]
+
+
+class TestPhi3vHDTransform:
+    @pytest.fixture(scope="class")
+    def model(self):
+        from lmms_owc_tpu.models import get_model
+
+        # tiny preset: crop size 28, patch 14 -> side 2, half 1
+        return get_model("phi3v-tiny", batch_size=2, random_init=True, dtype="float32")
+
+    def test_token_count_formula(self, model):
+        from PIL import Image
+
+        img = Image.fromarray(np.random.RandomState(0).randint(0, 255, (60, 100, 3), dtype=np.uint8))
+        # ratio 100/60: scale=5 -> 5x3 crops; tokens = 15*1 + 3*1 + 1 + 1*(1+1) = 21
+        feats = model._encode_one_image(img)
+        assert feats.shape[0] == 21
+        assert feats.shape[1] == model.text_config.hidden_size
+
+    def test_portrait_transposes(self, model):
+        from PIL import Image
+
+        img = Image.fromarray(np.random.RandomState(1).randint(0, 255, (100, 60, 3), dtype=np.uint8))
+        hd = model._hd_transform(img, 16)
+        w, h = hd.size
+        assert w % 28 == 0 and h % 28 == 0
+        # portrait stays portrait after transpose-back
+        assert h > w
+
+    def test_global_only_mode(self):
+        from PIL import Image
+
+        from lmms_owc_tpu.models import get_model
+
+        model = get_model(
+            "phi3v-tiny", batch_size=2, random_init=True, dtype="float32", num_crops=0
+        )
+        img = Image.fromarray(np.random.RandomState(2).randint(0, 255, (60, 100, 3), dtype=np.uint8))
+        feats = model._encode_one_image(img)
+        # half*(half+1) + glb_GN = 1*2 + 1 = 3
+        assert feats.shape[0] == 3
