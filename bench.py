@@ -73,9 +73,83 @@ def bench_simmatch() -> None:
     )
 
 
+def bench_latency() -> None:
+    """BENCH_MODE=latency: p50 single-image request latency (batch 1, 64 new tokens).
+
+    The reference's serving granularity is one request per GPU (batch_size=1,
+    src/models/_base.py:103-104); this measures the same single-request path here:
+    host decode+resize -> vision tower -> prefill -> 64-step decode -> detokenize.
+    """
+    os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    import numpy as np
+    from PIL import Image
+
+    from lmms_owc_tpu.models import get_model
+
+    n_reqs = int(os.environ.get("BENCH_REQS", "24"))
+    image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
+    model = get_model("qwen2-vl-2b", batch_size=1, random_init=True, dtype="bfloat16")
+
+    rng = np.random.RandomState(0)
+    docs = [
+        {"image": Image.fromarray(rng.randint(0, 255, (image_hw, image_hw, 3), dtype=np.uint8))}
+        for _ in range(n_reqs + 2)
+    ]
+
+    class _BenchTask:
+        dataset = {"test": docs}
+
+    model.task_dict["bench"] = _BenchTask()
+    gen_kwargs = {"max_new_tokens": 64, "do_sample": False, "until": None}
+
+    class _Req:
+        def __init__(self, doc_id):
+            self.args = (
+                "What type of object is in this photo?",
+                gen_kwargs,
+                lambda doc: [doc["image"]],
+                doc_id,
+                "bench",
+                "test",
+            )
+
+    for i in (n_reqs, n_reqs + 1):  # warmup on held-out docs
+        model.generate_until([_Req(i)])
+
+    latencies = []
+    for i in range(n_reqs):
+        t0 = time.perf_counter()
+        out = model.generate_until([_Req(i)])
+        latencies.append(time.perf_counter() - t0)
+        assert len(out) == 1
+    p50 = sorted(latencies)[len(latencies) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": "p50_latency_single_image_qwen2_vl_2b",
+                "value": round(p50 * 1e3, 1),
+                "unit": "ms",
+                # Reference point: ~1 image/sec at batch 1 on A100 => ~1000 ms;
+                # ratio >1 means lower latency than the baseline.
+                "vs_baseline": round(1000.0 / (p50 * 1e3), 3),
+            }
+        )
+    )
+
+
 def main() -> None:
     if os.environ.get("BENCH_MODE") == "simmatch":
         return bench_simmatch()
+    if os.environ.get("BENCH_MODE") == "latency":
+        return bench_latency()
     os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
     # Persist compiled executables: first run pays remote-compile cost once; driver
     # re-runs load from disk.
