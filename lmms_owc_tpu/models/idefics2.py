@@ -101,6 +101,7 @@ class Idefics2(Model):
         preset: str = "idefics2-8b",
         image_size: int | None = None,
         do_image_splitting: bool = False,
+        hf_preprocess: bool = True,
         random_init: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
@@ -109,6 +110,10 @@ class Idefics2(Model):
         self.preset = preset
         self.image_size_override = image_size
         self.do_image_splitting = do_image_splitting
+        # HF-exact variable-aspect preprocessing (resize to shortest/longest edge
+        # budget, pad bottom/right, patch mask + bucketized position ids). Passing
+        # image_size=N forces the fixed-square throughput path instead.
+        self.hf_preprocess = bool(hf_preprocess) and image_size is None
         self.random_init = random_init or pretrained is None
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)
@@ -211,6 +216,62 @@ class Idefics2(Model):
             arrays.append(arr.transpose(2, 0, 1))
         return np.stack(arrays)
 
+    @staticmethod
+    def _hf_resize_dims(width: int, height: int, shortest: int, longest: int) -> tuple[int, int]:
+        """HF Idefics2ImageProcessor.get_resize_output_image_size, exactly
+        (image_processing_idefics2.py:49-78): cap the longest edge, int-truncate
+        the other, then clamp both to the shortest-edge minimum."""
+        aspect_ratio = width / height
+        if width >= height and width > longest:
+            width = longest
+            height = int(width / aspect_ratio)
+        elif height > width and height > longest:
+            height = longest
+            width = int(height * aspect_ratio)
+        height = max(height, shortest)
+        width = max(width, shortest)
+        return width, height
+
+    def _preprocess_hf(self, visuals: list):
+        """HF-exact variable-aspect preprocessing for a list of images.
+
+        Returns (pixels [N, 3, Hmax, Wmax] normalized + zero-padded bottom/right,
+        position_ids [N, P], patch_mask [N, P]) with Hmax/Wmax bucketed to
+        8-patch multiples to bound recompiles (extra slots are masked out).
+        """
+        from PIL import Image
+
+        p = self.config.vision.patch_size
+        longest = self.config.vision.image_size
+        shortest = max(p, round(longest * 378 / 980))
+        num_side = longest // p
+
+        resized, dims = [], []
+        for image in visuals:
+            img = image.convert("RGB")
+            w, h = self._hf_resize_dims(*img.size, shortest, longest)
+            img = img.resize((w, h), Image.BILINEAR)  # HF default resample
+            arr = np.asarray(img).astype(np.float32) / 255.0
+            arr = (arr - np.asarray(IDEFICS_MEAN)) / np.asarray(IDEFICS_STD)
+            resized.append(arr.transpose(2, 0, 1))
+            dims.append((h, w))
+
+        from lmms_owc_tpu.nn.idefics2 import variable_patch_layout
+
+        step = 8 * p
+        max_h = min(-(-max(h for h, _ in dims) // step) * step, longest)
+        max_w = min(-(-max(w for _, w in dims) // step) * step, longest)
+        max_h = max(max_h, max(h for h, _ in dims))
+        max_w = max(max_w, max(w for _, w in dims))
+        gh, gw = max_h // p, max_w // p
+
+        n = len(visuals)
+        pixels = np.zeros((n, 3, max_h, max_w), np.float32)
+        for i, ((h, w), arr) in enumerate(zip(dims, resized)):
+            pixels[i, :, :h, :w] = arr
+        position_ids, patch_mask = variable_patch_layout(dims, (gh, gw), num_side, p)
+        return pixels, position_ids, patch_mask
+
     def generate_until(self, requests) -> list[str]:
         import jax
         import jax.numpy as jnp
@@ -229,7 +290,7 @@ class Idefics2(Model):
 
         def prepare(chunk):
             """Host preprocessing + SigLIP/perceiver encode; overlapped with decode."""
-            rows, image_stacks, image_counts = [], [], []
+            rows, all_images, image_counts = [], [], []
             for args in chunk:
                 ctx, _gk, doc_to_visual, doc_id, task_name, split = args[:6]
                 task = self.task_dict.get(task_name)
@@ -241,17 +302,24 @@ class Idefics2(Model):
                     else []
                 ) or []
                 visuals = self._expand_visuals(visuals)
-                pixels = self._preprocess(visuals)
-                if pixels is not None:
-                    image_stacks.append(pixels)
+                all_images.extend(visuals)
                 image_counts.append(len(visuals))
                 rows.append(self.tokenizer.encode(self._build_prompt(ctx, len(visuals))))
 
             vision_flat = None
-            if image_stacks:
-                stacked = np.concatenate(image_stacks)
+            if all_images:
                 param_dtype = self.params["perceiver"]["latents"].dtype
-                vision = idf.encode_images(self.params, jnp.asarray(stacked, param_dtype), self.config)
+                if self.hf_preprocess:
+                    pixels, pos_ids, patch_mask = self._preprocess_hf(all_images)
+                    vision = idf.encode_images(
+                        self.params, jnp.asarray(pixels, param_dtype), self.config,
+                        jnp.asarray(pos_ids), jnp.asarray(patch_mask),
+                    )
+                else:
+                    stacked = self._preprocess(all_images)
+                    vision = idf.encode_images(
+                        self.params, jnp.asarray(stacked, param_dtype), self.config
+                    )
                 vision_flat = vision.reshape(-1, vision.shape[-1])
 
             bsz = len(rows)

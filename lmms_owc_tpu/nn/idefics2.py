@@ -30,7 +30,36 @@ __all__ = [
     "encode_images",
     "idefics2_config_from_hf",
     "init_idefics2_params",
+    "variable_patch_layout",
 ]
+
+
+def variable_patch_layout(
+    dims: list[tuple[int, int]], grid_hw: tuple[int, int], num_side: int, patch_size: int
+):
+    """HF variable-aspect layout (modeling_idefics2.Idefics2VisionEmbeddings:136-166).
+
+    For images of pixel dims ``(h, w)`` padded bottom/right into a common grid of
+    ``grid_hw`` patches: a patch is valid iff fully covered by real pixels, and
+    position ids come from fractional coordinates bucketized over ``num_side``
+    boundaries (torch.bucketize(right=True) == np.searchsorted(side='left')).
+
+    Returns (position_ids [N, gh*gw] int64, patch_mask [N, gh*gw] int32).
+    """
+    gh, gw = grid_hw
+    n = len(dims)
+    patch_mask = np.zeros((n, gh * gw), np.int32)
+    position_ids = np.zeros((n, gh * gw), np.int64)
+    boundaries = np.arange(1 / num_side, 1.0, 1 / num_side)
+    for i, (h, w) in enumerate(dims):
+        nph, npw = h // patch_size, w // patch_size
+        grid = np.zeros((gh, gw), bool)
+        grid[:nph, :npw] = True
+        patch_mask[i] = grid.reshape(-1)
+        bh = np.searchsorted(boundaries, np.arange(nph) / nph * (1 - 1e-6), side="left")
+        bw = np.searchsorted(boundaries, np.arange(npw) / npw * (1 - 1e-6), side="left")
+        position_ids[i][grid.reshape(-1)] = (bh[:, None] * num_side + bw[None, :]).reshape(-1)
+    return position_ids, patch_mask
 
 
 @dataclass(frozen=True)
@@ -99,10 +128,15 @@ def siglip_vision_forward(
     pixel_values: jax.Array,
     config: SiglipVisionConfig,
     bucket_positions: bool = True,
+    position_ids: jax.Array | None = None,
+    patch_mask: jax.Array | None = None,
 ) -> jax.Array:
     """SigLIP ViT (no CLS token) -> post-LN hidden states [B, P, E].
 
-    ``bucket_positions=True`` reproduces Idefics2's fractional-coordinate bucketing
+    Variable-aspect Idefics2 semantics (HF modeling_idefics2.Idefics2VisionEmbeddings):
+    pass ``position_ids`` [B, P] (host-computed fractional-coordinate buckets) and
+    ``patch_mask`` [B, P] (1 = real patch) for batches padded to a common H x W.
+    Without them, ``bucket_positions=True`` reproduces the full-grid special case
     (position id max(i-1, 0) per axis); False uses plain arange positions (the
     standard SigLIP used by LLaVA-OneVision).
     """
@@ -113,12 +147,13 @@ def siglip_vision_forward(
 
     grid_h = pixel_values.shape[2] // p
     grid_w = pixel_values.shape[3] // p
-    x = pixel_values.reshape(b, 3, grid_h, p, grid_w, p)
+    x = pixel_values[:, :, : grid_h * p, : grid_w * p].reshape(b, 3, grid_h, p, grid_w, p)
     x = x.transpose(0, 2, 4, 1, 3, 5).reshape(b, -1, 3 * p * p)
     x = jnp.dot(x, params["patch_embed"]["w"], preferred_element_type=x.dtype) + params["patch_embed"]["b"]
-    if bucket_positions:
-        # HF Idefics2VisionEmbeddings buckets fractional coords scaled by (1 - 1e-6),
-        # which lands position id max(i-1, 0) on each axis for full-size images.
+    if position_ids is not None:
+        x = x + jnp.take(params["position_embedding"], position_ids, axis=0).astype(x.dtype)
+    elif bucket_positions:
+        # Full-grid special case of the fractional bucketing: id max(i-1, 0) per axis.
         num_side = int(round(params["position_embedding"].shape[0] ** 0.5))
         h_ids = np.maximum(np.arange(grid_h) - 1, 0)
         w_ids = np.maximum(np.arange(grid_w) - 1, 0)
@@ -133,7 +168,7 @@ def siglip_vision_forward(
         q = dense(layer["attn"]["q"], normed).reshape(b, L, nh, hd).transpose(0, 2, 1, 3)
         k = dense(layer["attn"]["k"], normed).reshape(b, L, nh, hd).transpose(0, 2, 1, 3)
         v = dense(layer["attn"]["v"], normed).reshape(b, L, nh, hd).transpose(0, 2, 1, 3)
-        attn = flash_attention(q, k, v)
+        attn = flash_attention(q, k, v, kv_mask=patch_mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, L, e)
         x = x + dense(layer["attn"]["o"], attn)
         normed2 = layer_norm(layer["ln2"], x, eps=eps)
@@ -145,17 +180,36 @@ def siglip_vision_forward(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def encode_images(params: dict, pixel_values: jax.Array, config: Idefics2Config) -> jax.Array:
-    """Pixels [N, 3, S, S] -> resampled vision tokens [N, n_latents, H_text]."""
+def encode_images(
+    params: dict,
+    pixel_values: jax.Array,
+    config: Idefics2Config,
+    position_ids: jax.Array | None = None,
+    patch_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Pixels [N, 3, H, W] -> resampled vision tokens [N, n_latents, H_text].
+
+    ``position_ids`` / ``patch_mask`` enable HF-exact variable-aspect batches
+    (images padded bottom/right to a common H x W); the perceiver's latents then
+    attend only to real patches.
+    """
     per = config.perceiver
     eps = per.rms_norm_eps
-    vision = siglip_vision_forward(params["vision"], pixel_values, config.vision)
+    vision = siglip_vision_forward(
+        params["vision"], pixel_values, config.vision,
+        position_ids=position_ids, patch_mask=patch_mask,
+    )
     context = mlp_swiglu(params["modality_projection"], vision)
 
     n = context.shape[0]
     latents = jnp.broadcast_to(
         params["perceiver"]["latents"][None], (n, per.n_latents, context.shape[-1])
     ).astype(context.dtype)
+    kv_mask = None
+    if patch_mask is not None:
+        kv_mask = jnp.concatenate(
+            [patch_mask.astype(jnp.int32), jnp.ones((n, per.n_latents), jnp.int32)], axis=1
+        )
 
     for layer in params["perceiver"]["layers"]:
         residual = latents
@@ -166,7 +220,7 @@ def encode_images(params: dict, pixel_values: jax.Array, config: Idefics2Config)
         k = dense(layer["attn"]["k"], kv_src).reshape(n, kv_src.shape[1], per.num_kv_heads, per.head_dim).transpose(0, 2, 1, 3)
         v = dense(layer["attn"]["v"], kv_src).reshape(n, kv_src.shape[1], per.num_kv_heads, per.head_dim).transpose(0, 2, 1, 3)
         rep = per.n_heads // per.num_kv_heads
-        out = attention_reference(q, repeat_kv(k, rep), repeat_kv(v, rep))
+        out = attention_reference(q, repeat_kv(k, rep), repeat_kv(v, rep), kv_mask=kv_mask)
         out = out.transpose(0, 2, 1, 3).reshape(n, per.n_latents, -1)
         latents = residual + dense(layer["attn"]["o"], out)
         residual = latents
