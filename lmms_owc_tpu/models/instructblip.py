@@ -206,7 +206,7 @@ class InstructBlip(Model):
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        param_dtype = self.params["language_projection"]["w"].dtype
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
         nq = self.config.num_query_tokens
 
         def prepare(chunk):

@@ -311,7 +311,7 @@ class InternVL2(Model):
             vision_flat = None
             if all_tiles:
                 stacked = np.concatenate(all_tiles)
-                param_dtype = self.params["projector"]["fc1"]["w"].dtype
+                param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
                 vision = iv.encode_tiles(
                     self.params, jnp.asarray(stacked, param_dtype), self.config
                 )  # [N_tiles, tokens_per_tile, H]

@@ -276,7 +276,7 @@ class LlavaHf(Model):
         bsz, bucket = input_ids.shape
         index_map = np.full((bsz, bucket), -1, np.int32)
         cursor = 0
-        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
         for row, payload in enumerate(payloads):
             if payload is None:
                 continue
@@ -326,7 +326,7 @@ class LlavaHf(Model):
             arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
             arrays.append(arr.transpose(2, 0, 1))
         pixels = np.stack(arrays)
-        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
         feats = lv.encode_images(self.params, jnp.asarray(pixels, param_dtype), self.config)
         return anyres.pack_anyres_features(
             np.asarray(feats, np.float32),

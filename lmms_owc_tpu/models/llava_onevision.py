@@ -276,7 +276,7 @@ class LlavaOnevision(Model):
             arrays.append(arr.transpose(2, 0, 1))
         pixels = np.stack(arrays)
 
-        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
         feats = idf.siglip_vision_forward(
             self.params["vision"], jnp.asarray(pixels, param_dtype), self.vision_config,
             bucket_positions=False,
@@ -349,7 +349,7 @@ class LlavaOnevision(Model):
 
         vision_flat = None
         if all_features:
-            param_dtype = self.params["projector"]["fc1"]["w"].dtype
+            param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
             vision_flat = jnp.asarray(np.concatenate(all_features), param_dtype)
 
         embeds = _assemble_embeds(
@@ -458,7 +458,7 @@ class LlavaOnevision(Model):
 
             vision_flat = None
             if all_features:
-                param_dtype = self.params["projector"]["fc1"]["w"].dtype
+                param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
                 vision_flat = jnp.asarray(np.concatenate(all_features), param_dtype)
             embeds = _assemble_embeds(
                 self.params["text"]["embed_tokens"],

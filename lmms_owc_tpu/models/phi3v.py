@@ -311,7 +311,7 @@ class Phi3v(Model):
 
         size = self.vision_config.image_size
         half = (size // self.vision_config.patch_size) // 2
-        param_dtype = self.params["projector"]["fc1"]["w"].dtype
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
         sub_gn = np.asarray(self.params["sub_gn"], np.float32)
         glb_gn = np.asarray(self.params["glb_gn"], np.float32)
 
@@ -418,7 +418,7 @@ class Phi3v(Model):
 
             vision_flat = None
             if all_features:
-                param_dtype = self.params["projector"]["fc1"]["w"].dtype
+                param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
                 vision_flat = jnp.asarray(np.concatenate(all_features), param_dtype)
             embeds = _assemble_embeds(
                 self.params["text"]["embed_tokens"],

@@ -259,10 +259,12 @@ class Qwen2VL(Model):
         if self.load_in_8bit:
             # Weight-only int8 (bitsandbytes load_in_8bit equivalent,
             # reference src/models/_base.py:116-121): linear kernels + lm_head
-            # stored int8 in HBM, upcast fused into the MXU matmul.
+            # stored int8 in HBM, upcast fused into the MXU matmul. Applied here
+            # (not in the base class) so quantization precedes mesh sharding.
             from lmms_owc_tpu.ops.quant import quantize_params_int8
 
             self.params = quantize_params_int8(self.params)
+            self._int8_applied = True
             log.info("quantized linear weights to int8 (weight-only)")
 
         self.mesh = None

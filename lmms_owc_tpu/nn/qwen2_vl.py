@@ -624,8 +624,13 @@ def _head_logits(params: dict, x: jax.Array) -> jax.Array:
         if "w_q8" in head:
             qp = head["w_q8"]
             return jnp.dot(x.astype(jnp.float32), qp["q"].astype(jnp.float32)) * qp["scale"]
-        return jnp.dot(x.astype(jnp.float32), head["w"].astype(jnp.float32))
-    return jnp.dot(x.astype(jnp.float32), params["embed_tokens"].T.astype(jnp.float32))
+        w = head["w"]
+    else:
+        w = params["embed_tokens"].T
+    # Multiply in the stored dtype, accumulate f32: a bf16 head is read at half
+    # the HBM bytes of an f32 upcast — the vocab matrix is the largest single
+    # decode-step read — while logits stay f32 for softmax/argmax.
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
 
 
 def _decoder_forward(params, input_embeds, position_ids, attention_mask, config):

@@ -26,10 +26,10 @@ __all__ = [
     "quantize_params_int8",
 ]
 
-# Parent-key names whose "w" must stay full-precision: patch embeddings are
-# consumed via raw jnp.dot at several call sites, and tied embedding tables
-# double as the LM head.
-DEFAULT_EXCLUDE = ("patch_embed", "embed_tokens")
+# Parent-key names whose "w" must stay full-precision: patch embeddings and the
+# CLIP projection heads are consumed via raw jnp.dot at several call sites, and
+# tied embedding tables double as the LM head.
+DEFAULT_EXCLUDE = ("patch_embed", "embed_tokens", "visual_projection", "text_projection")
 
 
 def quantize_int8(w: jax.Array) -> dict:

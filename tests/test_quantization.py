@@ -129,3 +129,31 @@ class TestQuantizedDecoder:
         )
         assert "toy" in results["results"]
         assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
+
+
+class TestInt8OtherAdapters:
+    def test_instructblip_base_class_path(self, toy_task_path, toy_dataset):
+        """load_in_8bit through the Model base class (adapter has no own handling)."""
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model(
+            "instructblip-tiny", batch_size=2, random_init=True,
+            dtype="float32", load_in_8bit=True,
+        )
+        assert model._int8_applied
+        assert "w_q8" in model.params["text"]["layers"]["attn"]["q"]
+        # Vision patch embedding must stay full precision (direct jnp.dot user).
+        assert "w" in model.params["vision"]["patch_embed"]
+
+        tm = TaskManager(include_path=toy_task_path, model_name="instructblip-tiny")
+        task_dict = get_tasks_as_dict(["toy"], tm)
+        task = task_dict["toy"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
+        )
+        assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
