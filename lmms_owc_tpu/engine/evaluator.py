@@ -101,6 +101,9 @@ def evaluate(
 
     RANK = model.rank
     WORLD_SIZE = model.world_size
+    # Per-phase wall-clock (SURVEY 5: the reference records only total time;
+    # we break out request build / model inference / scoring for observability).
+    phase_timings: dict = {"build_requests": 0.0, "inference": {}, "scoring": 0.0}
 
     eval_tasks = get_tasks_as_list(task_dict)
     if not log_samples and any(
@@ -109,6 +112,7 @@ def evaluate(
         raise ValueError("log_samples must be True for 'bypass' metric-only tasks")
 
     # ------------------------------------------------------------ build requests
+    _t_build = time.perf_counter()
     for task_output in eval_tasks:
         task = task_output.task
         task_name = task_output.task_name
@@ -180,6 +184,8 @@ def evaluate(
             )
             padding_requests[req_type] += int(gathered.max() - gathered[RANK])
 
+    phase_timings["build_requests"] = round(time.perf_counter() - _t_build, 3)
+
     # ------------------------------------------------------------ run the model
     profile_dir = os.environ.get("LMMS_OWC_PROFILE_DIR")
     if profile_dir and RANK == 0:
@@ -205,6 +211,7 @@ def evaluate(
             req.resps.append(resp)
 
         elapsed = time.perf_counter() - t_start
+        phase_timings["inference"][req_type] = round(elapsed, 3)
         if elapsed > 0:
             log.info(
                 "%s finished: %d requests in %.2fs (%.2f req/s)",
@@ -227,6 +234,7 @@ def evaluate(
                 del req.resps[req.repeats :]
 
     # ------------------------------------------------------------ score samples
+    _t_score = time.perf_counter()
     for task_output in eval_tasks:
         task = task_output.task
         task.apply_filters()
@@ -300,6 +308,8 @@ def evaluate(
                     task_output.sample_metrics[metric_key] = gathered_metrics
         _sync_processes(WORLD_SIZE)
 
+    phase_timings["scoring"] = round(time.perf_counter() - _t_score, 3)
+
     if RANK != 0:
         _sync_processes(WORLD_SIZE)
         return None
@@ -357,6 +367,7 @@ def evaluate(
             for task_output in eval_tasks
         },
     }
+    results_dict["timings"] = phase_timings
     if log_samples:
         results_dict["samples"] = dict(samples)
 

@@ -64,3 +64,19 @@ class TestFewshot:
             return [s["arguments"][0] for s in out["samples"]["toy"]]
 
         assert run() == run()
+
+
+class TestPhaseTimings:
+    def test_results_include_phase_timings(self, tm):
+        results = simple_evaluate(
+            model_name="fake",
+            model_args="response_mode=const,response_text=x",
+            tasks=["toy"],
+            limit=2,
+            bootstrap_iters=0,
+            task_manager=tm,
+        )
+        timings = results["timings"]
+        assert set(timings) == {"build_requests", "inference", "scoring"}
+        assert timings["build_requests"] >= 0.0
+        assert "generate_until" in timings["inference"]
