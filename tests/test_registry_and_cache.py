@@ -96,3 +96,41 @@ class TestShardedEvaluation:
             model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
         )
         assert "exact_match,none" in results["results"]["toy"]
+
+
+class TestResponseCache:
+    def test_use_cache_serves_responses(self, tmp_path, toy_task_path, toy_dataset):
+        """--use_cache: first run writes responses.jsonl; reruns are served from it."""
+        import json
+
+        from lmms_owc_tpu.engine import simple_evaluate
+        from lmms_owc_tpu.tasks import TaskManager
+
+        tm = TaskManager(include_path=toy_task_path, model_name="fake")
+        cache_dir = str(tmp_path / "resp_cache")
+
+        def run():
+            return simple_evaluate(
+                model_name="fake",
+                model_args=f"response_mode=const,response_text=cat,use_cache={cache_dir}",
+                tasks=["toy"],
+                limit=2,
+                bootstrap_iters=0,
+                task_manager=tm,
+                log_samples=True,
+            )
+
+        first = run()
+        path = tmp_path / "resp_cache" / "responses.jsonl"
+        assert path.exists()
+        records = [json.loads(line) for line in path.read_text().splitlines()]
+        assert len(records) == 2 and all(r["value"] == "cat" for r in records)
+
+        # Poison the cache; a reread run must surface the cached value, proving
+        # the model was not re-invoked for hits.
+        path.write_text(
+            "\n".join(json.dumps({"key": r["key"], "value": "POISONED"}) for r in records)
+        )
+        second = run()
+        assert second["samples"]["toy"][0]["filtered_resps"][0] == "POISONED"
+        assert first["samples"]["toy"][0]["filtered_resps"][0] == "cat"
