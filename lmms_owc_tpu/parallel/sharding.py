@@ -44,8 +44,25 @@ QWEN_DECODER_RULES: list[tuple[str, P]] = [
 
 
 def _spec_for_path(path: str, rules: list[tuple[str, P]]) -> P:
+    """Resolve a tree path to a PartitionSpec; int8 trees reuse the "w" rules.
+
+    A quantized dense stores ``w_q8/q`` ([..., in, out] int8, sharded exactly like
+    the full-precision "w") and ``w_q8/scale`` ([..., out] — the "w" spec with the
+    contraction axis removed).
+    """
+    scale = False
+    if path.endswith("w_q8/q"):
+        path = path[: -len("w_q8/q")] + "w"
+    elif path.endswith("w_q8/scale"):
+        path = path[: -len("w_q8/scale")] + "w"
+        scale = True
     for pattern, spec in rules:
         if re.search(pattern, path):
+            if scale:
+                dims = list(spec)
+                if len(dims) >= 2:
+                    dims.pop(-2)
+                return P(*dims)
             return spec
     return P()  # replicated
 

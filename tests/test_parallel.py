@@ -70,3 +70,46 @@ class TestShardingRules:
         params = {"layers": {"mlp": {"up": {"w": jnp.ones((2, 8, 3))}}}}  # 3 % 2 != 0
         shardings = make_param_shardings(params, mesh)
         assert tuple(shardings["layers"]["mlp"]["up"]["w"].spec) == (None, None, None)
+
+
+class TestInt8Sharding:
+    def test_quantized_tree_shards_like_full_precision(self, mesh):
+        """int8 q shards exactly like w; the per-channel scale follows the out axis."""
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.ops.quant import quantize_params_int8
+        from lmms_owc_tpu.parallel.sharding import make_param_shardings, shard_params
+
+        config = qvl.Qwen2VLConfig.from_hf_dict(
+            dict(
+                vocab_size=512, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+                tie_word_embeddings=True,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            )
+        )
+        params = quantize_params_int8(
+            qvl.init_decoder_params(jax.random.PRNGKey(0), config, jnp.float32)
+        )
+        shardings = make_param_shardings(params, mesh)
+        up = shardings["layers"]["mlp"]["up"]["w_q8"]
+        assert tuple(up["q"].spec) == (None, None, "model")
+        assert tuple(up["scale"].spec) == (None, "model")
+        down = shardings["layers"]["mlp"]["down"]["w_q8"]
+        assert tuple(down["q"].spec) == (None, "model", None)
+        assert tuple(down["scale"].spec) == (None, None)
+
+        # Sharded int8 prefill executes and matches the unsharded result.
+        sharded = shard_params(params, mesh)
+        rng = np.random.RandomState(0)
+        embeds = jnp.asarray(rng.randn(4, 8, 64).astype(np.float32))
+        pos = jnp.broadcast_to(jnp.arange(8)[None, None, :], (3, 4, 8)).astype(jnp.int32)
+        mask = jnp.ones((4, 8), jnp.int32)
+        with mesh:
+            logits_sharded, _ = qvl.prefill(sharded, embeds, pos, mask, config, cache_len=16)
+        logits, _ = qvl.prefill(params, embeds, pos, mask, config, cache_len=16)
+        np.testing.assert_allclose(
+            np.asarray(logits_sharded), np.asarray(logits), rtol=2e-4, atol=2e-4
+        )
