@@ -79,3 +79,48 @@ def test_tag_expands_to_group_run(tmp_path, toy_dataset):
     results_files = list(tmp_path.rglob("*_results.json"))
     saved = json.loads(results_files[0].read_text())
     assert {"toy", "toy_semantic"} <= set(saved["results"])
+
+
+def test_multi_config_yaml_runs(tmp_path, toy_dataset):
+    """--config with a LIST of runs executes each sequentially (eval_model.py:309-324)."""
+    config_path = tmp_path / "runs.yaml"
+    config_path.write_text(
+        "\n".join(
+            [
+                "- model: fake",
+                "  model_args: response_mode=target",
+                f"  output_path: {tmp_path / 'run_a'}",
+                "- model: fake",
+                "  model_args: response_mode=const,response_text=zzz",
+                f"  output_path: {tmp_path / 'run_b'}",
+            ]
+        )
+    )
+    result = subprocess.run(
+        [
+            sys.executable, str(REPO / "eval_model.py"),
+            "--config", str(config_path),
+            "--tasks", "toy",
+            "--include_path", str(REPO / "tests" / "fixtures" / "tasks"),
+            "--limit", "2",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+        env={"PATH": "/usr/bin:/bin", "HOME": "/root", "JAX_PLATFORMS": "cpu",
+             "LMMS_OWC_TPU_LOG_LEVEL": "WARNING"},
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    res_a = json.loads(next((tmp_path / "run_a").rglob("*_results.json")).read_text())
+    res_b = json.loads(next((tmp_path / "run_b").rglob("*_results.json")).read_text())
+    assert res_a["results"]["toy"]["exact_match,none"] == 1.0
+    assert res_b["results"]["toy"]["exact_match,none"] == 0.0
+
+
+def test_wandb_logger_degrades_to_noop():
+    """Without the wandb package, the logger must swallow every call."""
+    from lmms_owc_tpu.loggers import WandbLogger
+
+    logger = WandbLogger(project="x")
+    logger.post_init({"results": {"toy": {"exact_match,none": 1.0}}, "configs": {}})
+    logger.log_eval_result()
+    logger.log_eval_samples({"toy": [{"doc_id": 0, "resps": [["a"]]}]})
+    logger.finish()
