@@ -168,7 +168,9 @@ def main() -> None:
 
     preset = os.environ.get("BENCH_PRESET", "qwen2-vl-2b")
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    num_images = int(os.environ.get("BENCH_IMAGES", "96"))
+    # 6 macro-batches: enough chunks that the pipelined steady state (uploads
+    # and host prep hidden behind decode) dominates the first-chunk fill cost.
+    num_images = int(os.environ.get("BENCH_IMAGES", "192"))
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
 

@@ -153,23 +153,30 @@ class Model(abc.ABC):
             f"{type(self).__name__} does not implement generate_until_multi_round"
         )
 
-    def _foreach_chunk_pipelined(self, chunks: list, prepare, run) -> list:
-        """Process chunks with chunk k+1's preparation overlapped with chunk k's run.
+    def _foreach_chunk_pipelined(self, chunks: list, prepare, run, depth: int = 2) -> list:
+        """Process chunks with up to ``depth`` chunks' preparation in flight.
 
         ``prepare(chunk)`` does host preprocessing + vision encode (GIL-friendly);
-        ``run(chunk, prepared)`` does the serial decode and returns a list of outputs.
+        ``run(chunk, prepared)`` does the serial decode and returns a list of
+        outputs. Depth 2 keeps the NEXT chunk's host->device uploads moving while
+        the current chunk decodes — on narrow transfer links (tunnels, congested
+        PCIe) a single-chunk lookahead is not enough to hide the upload.
         """
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         results: list = []
         if not chunks:
             return results
+        depth = max(1, int(depth))
         with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = pool.submit(prepare, chunks[0])
+            pending: deque = deque(
+                pool.submit(prepare, chunk) for chunk in chunks[:depth]
+            )
             for i, chunk in enumerate(chunks):
-                prepared = pending.result()
-                if i + 1 < len(chunks):
-                    pending = pool.submit(prepare, chunks[i + 1])
+                prepared = pending.popleft().result()
+                if i + depth < len(chunks):
+                    pending.append(pool.submit(prepare, chunks[i + depth]))
                 results.extend(run(chunk, prepared))
         return results
 

@@ -623,8 +623,6 @@ class Qwen2VL(Model):
         return rows, vision_flat
 
     def generate_until(self, requests) -> list[str]:
-        from concurrent.futures import ThreadPoolExecutor
-
         collator = Collator(
             [req.args for req in requests],
             sort_fn=lambda args: -len(args[0]),
@@ -632,22 +630,23 @@ class Qwen2VL(Model):
             group_by="gen_kwargs",
         )
         chunks = list(collator.get_batched(n=self.batch_size))
-        results: list[str] = []
-        # Pipeline: host preprocessing + vision encode of chunk k+1 overlaps the
-        # decode of chunk k (the C++ loader releases the GIL; JAX dispatch is
-        # thread-safe). The reference prepares every sample on the critical path.
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            pending = pool.submit(self._prepare_requests_batch, chunks[0]) if chunks else None
-            for i, chunk in enumerate(chunks):
-                rows, vision_flat = pending.result()
-                if i + 1 < len(chunks):
-                    pending = pool.submit(self._prepare_requests_batch, chunks[i + 1])
-                gen_kwargs = dict(chunk[0][1] or {})
-                until = gen_kwargs.get("until") or []
-                if isinstance(until, str):
-                    until = [until]
-                texts = self._run_batch(rows, gen_kwargs, vision_flat)
-                results.extend(self._trim_until(t, until).strip() for t in texts)
+
+        # Pipeline: host preprocessing + vision encode (incl. host->device image
+        # uploads) of the next chunks overlaps the decode of chunk k (the C++
+        # loader releases the GIL; JAX dispatch is thread-safe). The reference
+        # prepares every sample on the critical path.
+        def run(chunk, prepared):
+            rows, vision_flat = prepared
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            texts = self._run_batch(rows, gen_kwargs, vision_flat)
+            return [self._trim_until(t, until).strip() for t in texts]
+
+        results = self._foreach_chunk_pipelined(
+            chunks, lambda chunk: self._prepare_requests_batch(chunk), run
+        )
         return collator.get_original(results)
 
     def generate_until_multi_round(self, requests) -> list[list[str]]:
