@@ -7,7 +7,6 @@ extract_data with zip+tar path-traversal checks) and :251-288
 
 from __future__ import annotations
 
-import os
 import tarfile
 import zipfile
 from pathlib import Path
