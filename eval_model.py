@@ -76,6 +76,8 @@ def _handle_task_listing(args, task_manager: TaskManager) -> bool:
         log.info(
             "Loading every task to report sample counts; this downloads all datasets."
         )
+        # Fail fast per task when datasets are unreachable (offline hosts).
+        os.environ.setdefault("LMMS_OWC_RETRY_ATTEMPTS", "1")
         for task_name in sorted(task_manager.all_subtasks):
             try:
                 from lmms_owc_tpu.tasks import get_tasks_as_dict

@@ -66,9 +66,15 @@ def _class_has_config_in_constructor(cls: type) -> bool:
 
 
 def _retry(fn: Callable, attempts: int = 5, wait_s: float = 2.0):
-    """Small retry helper (replaces tenacity decorators on download/process_results)."""
+    """Small retry helper (replaces tenacity decorators on download/process_results).
+
+    ``LMMS_OWC_RETRY_ATTEMPTS`` overrides the attempt count — set it to 1 for
+    fast failure in offline environments (task listing over many datasets).
+    """
+    import os
     import time
 
+    attempts = max(1, int(os.environ.get("LMMS_OWC_RETRY_ATTEMPTS", attempts)))
     last_err = None
     for attempt in range(attempts):
         try:
