@@ -15,9 +15,12 @@ from typing import Any
 
 __all__ = ["Collator", "pad_to_bucket", "DEFAULT_LENGTH_BUCKETS"]
 
-# Power-of-two-ish sequence-length buckets; chosen so each bucket's padded matmul
-# dims stay MXU-aligned (multiples of 128) while bounding padding waste to <~2x.
-DEFAULT_LENGTH_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192)
+# Sequence-length buckets: every bucket is a multiple of 128 (MXU-aligned), with
+# midpoints between the powers of two so padding waste is bounded to ~1.5x
+# instead of ~2x (e.g. a 279-token vision prompt pads to 384, not 512). Each
+# extra bucket costs one more compiled prefill+decode program, amortized by the
+# persistent compilation cache.
+DEFAULT_LENGTH_BUCKETS = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192)
 
 
 def pad_to_bucket(length: int, buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS) -> int:
