@@ -716,10 +716,87 @@ class Qwen2VL(Model):
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
-        raise NotImplementedError(
-            "loglikelihood is not supported for Qwen2-VL (reference parity:"
-            " src/models/_qwen2_vl.py:123-141)"
-        )
+        """(ctx, doc_to_target, doc_to_visual, doc_id, task, split) -> (loss, is_greedy).
+
+        The reference raises NotImplementedError for Qwen2-VL
+        (src/models/_qwen2_vl.py:123-141); supported here — capability superset —
+        with the same contract as the llava adapters (src/models/_llava_hf.py:169-260):
+        mean CE over the continuation with the context masked, plus greedy match.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+        results: list[tuple[float, bool]] = []
+        for start in range(0, len(requests), self.batch_size):
+            batch = requests[start : start + self.batch_size]
+            # Reuse the batched vision path with generate-style pseudo args.
+            chunk = [
+                (req.args[0], None, req.args[2], req.args[3], req.args[4], req.args[5])
+                for req in batch
+            ]
+            rows, vision_flat = self._prepare_requests_batch(chunk)
+
+            full_rows = []
+            for req, (ids, spans, grids) in zip(batch, rows):
+                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
+                task = self.task_dict.get(task_name)
+                if isinstance(task, tuple):
+                    task = task[1]
+                doc = task.dataset[split][doc_id]
+                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+                if isinstance(continuation, list):
+                    continuation = continuation[0]
+                prompt = self._build_prompt(ctx, len(grids))
+                ctx_ids = self.tokenizer.encode(prompt)
+                full_ids = self.tokenizer.encode(prompt + " " + str(continuation))
+                cont_ids = full_ids[len(ctx_ids) :]
+                full_rows.append((list(ids) + cont_ids, len(cont_ids), spans, grids))
+
+            bucket = pad_to_bucket(max(len(ids) for ids, *_ in full_rows))
+            pad_id = self.config.pad_token_id
+            bsz = len(full_rows)
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            target_ids = np.zeros((bsz, bucket), np.int64)
+            target_mask = np.zeros((bsz, bucket), np.int64)
+            index_map = np.full((bsz, bucket), -1, np.int32)
+            for row, (ids, n_cont, spans, _grids) in enumerate(full_rows):
+                offset = bucket - len(ids)
+                input_ids[row, offset:] = ids
+                mask[row, offset:] = 1
+                # Position t predicts token t+1: continuation targets occupy the
+                # last n_cont prediction slots.
+                target_ids[row, offset : bucket - 1] = ids[1:]
+                target_mask[row, bucket - 1 - n_cont : bucket - 1] = 1
+                positions = np.where(np.asarray(ids) == self.config.image_token_id)[0]
+                cursor = 0
+                for span_off, span_count in spans:
+                    span_positions = positions[cursor : cursor + span_count]
+                    index_map[row, offset + span_positions] = span_off + np.arange(span_count)
+                    cursor += span_count
+
+            all_grids = [g for *_, grids in full_rows for g in grids]
+            position_ids, _ = qvl.get_rope_index(input_ids, mask, all_grids, self.config)
+            embeds = _assemble_embeds(
+                self.params["embed_tokens"],
+                jnp.asarray(input_ids),
+                vision_flat,
+                jnp.asarray(index_map) if vision_flat is not None else None,
+            )
+            loss, is_greedy = qvl.score_continuation(
+                self.params,
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(target_ids),
+                jnp.asarray(target_mask.astype(np.int32)),
+                self.config,
+            )
+            results.extend(
+                (float(l), bool(g)) for l, g in zip(np.asarray(loss), np.asarray(is_greedy))
+            )
+        return results
 
 
 @register_model("qwen2-vl-7b")

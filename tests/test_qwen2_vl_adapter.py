@@ -98,3 +98,49 @@ class TestTinyAdapter:
         samples = results["samples"]["toy"]
         assert len(samples) == 2
         assert isinstance(samples[0]["filtered_resps"][0], str)
+
+
+class TestQwen2VLLoglikelihood:
+    def test_loglikelihood_path(self, tiny_model, toy_task_path, toy_dataset):
+        """Capability superset: the reference raises NotImplementedError here."""
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+        from lmms_owc_tpu.tasks._base import TaskInstance
+
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task = get_tasks_as_dict(["toy"], tm)["toy"]
+        tiny_model.task_dict["toy"] = task
+
+        reqs = [
+            TaskInstance(
+                request_type="loglikelihood",
+                arguments=("What is this?", task.doc_to_target, task.doc_to_visual, i, "toy", "test"),
+                idx=0,
+                metadata={"task": "toy", "doc_id": i, "repeats": 1},
+            )
+            for i in range(3)
+        ]
+        out = tiny_model.loglikelihood(reqs)
+        assert len(out) == 3
+        for loss, is_greedy in out:
+            assert loss > 0 and isinstance(is_greedy, bool)
+
+    def test_likelier_continuation_scores_lower(self, tiny_model, toy_task_path, toy_dataset):
+        """Sanity: the same continuation must score identically across calls."""
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+        from lmms_owc_tpu.tasks._base import TaskInstance
+
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task = get_tasks_as_dict(["toy"], tm)["toy"]
+        tiny_model.task_dict["toy"] = task
+
+        def req():
+            return TaskInstance(
+                request_type="loglikelihood",
+                arguments=("What is this?", "a cat", task.doc_to_visual, 0, "toy", "test"),
+                idx=0,
+                metadata={"task": "toy", "doc_id": 0, "repeats": 1},
+            )
+
+        (a, _), = tiny_model.loglikelihood([req()])
+        (b, _), = tiny_model.loglikelihood([req()])
+        assert a == pytest.approx(b, rel=1e-6)
