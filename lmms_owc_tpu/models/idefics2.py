@@ -393,7 +393,97 @@ class Idefics2(Model):
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
-        raise NotImplementedError("loglikelihood is not supported for Idefics2 (reference parity)")
+        """(ctx, doc_to_target, doc_to_visual, doc_id, task, split) -> (loss, is_greedy).
+
+        Capability superset — the reference's Idefics2 adapter has no
+        loglikelihood; contract matches src/models/_llava_hf.py:169-260.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.models.qwen2_vl import _assemble_embeds
+        from lmms_owc_tpu.nn import idefics2 as idf
+        from lmms_owc_tpu.nn import llama as L
+
+        n_latents = self.config.perceiver.n_latents
+        results: list[tuple[float, bool]] = []
+        for start in range(0, len(requests), self.batch_size):
+            batch = requests[start : start + self.batch_size]
+            rows, all_images, image_counts, cont_lens = [], [], [], []
+            for req in batch:
+                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
+                task = self.task_dict.get(task_name)
+                if isinstance(task, tuple):
+                    task = task[1]
+                doc = task.dataset[split][doc_id]
+                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+                if isinstance(continuation, list):
+                    continuation = continuation[0]
+                visuals = self._expand_visuals((doc_to_visual(doc) if doc_to_visual else []) or [])
+                all_images.extend(visuals)
+                image_counts.append(len(visuals))
+                prompt = self._build_prompt(ctx, len(visuals))
+                ctx_ids = self.tokenizer.encode(prompt)
+                cont_ids = self.tokenizer.encode(prompt + " " + str(continuation))[len(ctx_ids) :]
+                rows.append(ctx_ids + cont_ids)
+                cont_lens.append(len(cont_ids))
+
+            vision_flat = None
+            if all_images:
+                param_dtype = self.params["perceiver"]["latents"].dtype
+                if self.hf_preprocess:
+                    pixels, pos_ids, patch_mask = self._preprocess_hf(all_images)
+                    vision = idf.encode_images(
+                        self.params, jnp.asarray(pixels, param_dtype), self.config,
+                        jnp.asarray(pos_ids), jnp.asarray(patch_mask),
+                    )
+                else:
+                    vision = idf.encode_images(
+                        self.params, jnp.asarray(self._preprocess(all_images), param_dtype),
+                        self.config,
+                    )
+                vision_flat = vision.reshape(-1, vision.shape[-1])
+
+            bsz = len(rows)
+            bucket = pad_to_bucket(max(len(ids) for ids in rows))
+            pad_id = self.decoder_config.pad_token_id
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            target_ids = np.zeros((bsz, bucket), np.int64)
+            target_mask = np.zeros((bsz, bucket), np.int64)
+            index_map = np.full((bsz, bucket), -1, np.int32)
+            image_cursor = 0
+            for row, ids in enumerate(rows):
+                offset = bucket - len(ids)
+                input_ids[row, offset:] = ids
+                mask[row, offset:] = 1
+                target_ids[row, offset : bucket - 1] = ids[1:]
+                target_mask[row, bucket - 1 - cont_lens[row] : bucket - 1] = 1
+                positions = np.where(np.asarray(ids) == self.config.image_token_id)[0]
+                index_map[row, offset + positions] = image_cursor * n_latents + np.arange(
+                    len(positions)
+                )
+                image_cursor += image_counts[row]
+
+            embeds = _assemble_embeds(
+                self.params["text"]["embed_tokens"],
+                jnp.asarray(input_ids),
+                vision_flat,
+                jnp.asarray(index_map) if vision_flat is not None else None,
+            )
+            position_ids, _ = L.llama_positions(mask)
+            loss, is_greedy = L.score_continuation(
+                self.params["text"],
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(target_ids),
+                jnp.asarray(target_mask.astype(np.int32)),
+                self.decoder_config,
+            )
+            results.extend(
+                (float(l), bool(g)) for l, g in zip(np.asarray(loss), np.asarray(is_greedy))
+            )
+        return results
 
 
 @register_model("idefics2-8b")

@@ -171,11 +171,16 @@ class InstructBlip(Model):
             return self.qformer_tokenizer.encode(text, truncation=True, max_length=512)
         import hashlib
 
-        return [101] + [
-            1000 + int.from_bytes(hashlib.md5(w.encode()).digest()[:3], "little")
-            % (self.config.qformer.vocab_size - 1100)
+        # Vocab-safe fallback: tiny presets have small qformer vocabularies, and
+        # an out-of-range id turns into a NaN embedding (JAX gather fill mode).
+        vocab = self.config.qformer.vocab_size
+        lo = 1000 if vocab > 1200 else 4
+        span = max(1, vocab - lo - 2)
+        cls_id, sep_id = min(101, vocab - 2), min(102, vocab - 1)
+        return [cls_id] + [
+            lo + int.from_bytes(hashlib.md5(w.encode()).digest()[:3], "little") % span
             for w in text.split()
-        ] + [102]
+        ] + [sep_id]
 
     def _preprocess(self, visuals: list) -> np.ndarray | None:
         """BLIP preprocessing: plain resize to (S, S) + CLIP normalization."""
@@ -326,7 +331,97 @@ class InstructBlip(Model):
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
-        raise NotImplementedError("loglikelihood is not supported for InstructBLIP (reference parity)")
+        """(ctx, doc_to_target, doc_to_visual, doc_id, task, split) -> (loss, is_greedy).
+
+        Capability superset — the reference's InstructBLIP adapter has no
+        loglikelihood; contract matches src/models/_llava_hf.py:169-260.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.models.qwen2_vl import _assemble_embeds
+        from lmms_owc_tpu.nn import instructblip as ib
+        from lmms_owc_tpu.nn import llama as L
+
+        param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
+        nq = self.config.num_query_tokens
+        results: list[tuple[float, bool]] = []
+        for start in range(0, len(requests), self.batch_size):
+            batch = requests[start : start + self.batch_size]
+            pixel_rows, qf_rows, text_rows, cont_lens = [], [], [], []
+            for req in batch:
+                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
+                task = self.task_dict.get(task_name)
+                if isinstance(task, tuple):
+                    task = task[1]
+                doc = task.dataset[split][doc_id]
+                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+                if isinstance(continuation, list):
+                    continuation = continuation[0]
+                visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+                pixel_rows.append(self._preprocess(visuals))
+                qf_rows.append(self._qformer_encode(ctx))
+                ctx_ids = self.tokenizer.encode(ctx)
+                cont_ids = self.tokenizer.encode(ctx + " " + str(continuation))[len(ctx_ids) :]
+                text_rows.append(ctx_ids + cont_ids)
+                cont_lens.append(len(cont_ids))
+
+            bsz = len(batch)
+            size = self.config.vision.image_size
+            pixels = np.concatenate(
+                [p if p is not None else np.zeros((1, 3, size, size), np.float32) for p in pixel_rows]
+            )
+            qf_len = pad_to_bucket(max(len(q) for q in qf_rows), (16, 32, 64, 128, 256))
+            qf_ids = np.zeros((bsz, qf_len), np.int64)
+            qf_mask = np.zeros((bsz, qf_len), np.int64)
+            for row, ids in enumerate(qf_rows):
+                qf_ids[row, : len(ids)] = ids
+                qf_mask[row, : len(ids)] = 1
+            query_embeds = ib.encode_image_queries(
+                self.params, jnp.asarray(pixels, param_dtype),
+                jnp.asarray(qf_ids), jnp.asarray(qf_mask), self.config,
+            )
+
+            bucket = pad_to_bucket(nq + max(len(t) for t in text_rows))
+            pad_id = self.decoder_config.pad_token_id
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            target_ids = np.zeros((bsz, bucket), np.int64)
+            target_mask = np.zeros((bsz, bucket), np.int64)
+            index_map = np.full((bsz, bucket), -1, np.int32)
+            for row, ids in enumerate(text_rows):
+                total = nq + len(ids)
+                offset = bucket - total
+                input_ids[row, offset + nq :] = ids
+                mask[row, offset:] = 1
+                # Position t predicts token t+1; the last query slot predicts the
+                # first text token, so targets start at offset + nq - 1.
+                target_ids[row, offset + nq - 1 : bucket - 1] = ids
+                target_mask[row, bucket - 1 - cont_lens[row] : bucket - 1] = 1
+                if pixel_rows[row] is not None:
+                    index_map[row, offset : offset + nq] = row * nq + np.arange(nq)
+                else:
+                    mask[row, offset : offset + nq] = 0
+
+            embeds = _assemble_embeds(
+                self.params["text"]["embed_tokens"],
+                jnp.asarray(input_ids),
+                query_embeds.reshape(-1, query_embeds.shape[-1]),
+                jnp.asarray(index_map),
+            )
+            position_ids, _ = L.llama_positions(mask)
+            loss, is_greedy = L.score_continuation(
+                self.params["text"],
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(target_ids),
+                jnp.asarray(target_mask.astype(np.int32)),
+                self.decoder_config,
+            )
+            results.extend(
+                (float(l), bool(g)) for l, g in zip(np.asarray(loss), np.asarray(is_greedy))
+            )
+        return results
 
 
 @register_model("instructblip-vicuna-7b")

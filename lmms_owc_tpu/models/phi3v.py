@@ -474,7 +474,90 @@ class Phi3v(Model):
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:
-        raise NotImplementedError("loglikelihood is not supported for Phi3v (reference parity)")
+        """(ctx, doc_to_target, doc_to_visual, doc_id, task, split) -> (loss, is_greedy).
+
+        Capability superset — the reference's Phi3v adapter has no loglikelihood;
+        contract matches src/models/_llava_hf.py:169-260.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.models.qwen2_vl import _assemble_embeds
+        from lmms_owc_tpu.nn import llama as L
+
+        results: list[tuple[float, bool]] = []
+        for start in range(0, len(requests), self.batch_size):
+            batch = requests[start : start + self.batch_size]
+            rows = []
+            for req in batch:
+                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
+                task = self.task_dict.get(task_name)
+                if isinstance(task, tuple):
+                    task = task[1]
+                doc = task.dataset[split][doc_id]
+                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+                if isinstance(continuation, list):
+                    continuation = continuation[0]
+                visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+                features = [self._encode_one_image(img) for img in visuals]
+                prompt = self._build_prompt(ctx, len(visuals))
+                ctx_ids = self.tokenizer.encode(prompt)
+                cont_ids = self.tokenizer.encode(prompt + " " + str(continuation))[len(ctx_ids) :]
+                expanded: list[int] = []
+                img_idx = 0
+                for tok in ctx_ids:
+                    if tok == self._image_token_id() and img_idx < len(features):
+                        expanded.extend([tok] * features[img_idx].shape[0])
+                        img_idx += 1
+                    else:
+                        expanded.append(tok)
+                rows.append((expanded + cont_ids, len(cont_ids), features))
+
+            bsz = len(rows)
+            bucket = pad_to_bucket(max(len(ids) for ids, _, _ in rows))
+            pad_id = self.decoder_config.pad_token_id
+            input_ids = np.full((bsz, bucket), pad_id, np.int64)
+            mask = np.zeros((bsz, bucket), np.int64)
+            target_ids = np.zeros((bsz, bucket), np.int64)
+            target_mask = np.zeros((bsz, bucket), np.int64)
+            index_map = np.full((bsz, bucket), -1, np.int32)
+            all_features = []
+            cursor = 0
+            for row, (ids, n_cont, features) in enumerate(rows):
+                offset = bucket - len(ids)
+                input_ids[row, offset:] = ids
+                mask[row, offset:] = 1
+                target_ids[row, offset : bucket - 1] = ids[1:]
+                target_mask[row, bucket - 1 - n_cont : bucket - 1] = 1
+                positions = np.where(np.asarray(ids) == self._image_token_id())[0]
+                if len(positions):
+                    index_map[row, offset + positions] = cursor + np.arange(len(positions))
+                    cursor += len(positions)
+                    all_features.extend(features)
+
+            vision_flat = None
+            if all_features:
+                param_dtype = self.params["vision"]["patch_embed"]["w"].dtype
+                vision_flat = jnp.asarray(np.concatenate(all_features), param_dtype)
+            embeds = _assemble_embeds(
+                self.params["text"]["embed_tokens"],
+                jnp.asarray(input_ids),
+                vision_flat,
+                jnp.asarray(index_map) if vision_flat is not None else None,
+            )
+            position_ids, _ = L.llama_positions(mask)
+            loss, is_greedy = L.score_continuation(
+                self.params["text"],
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(mask.astype(np.int32)),
+                jnp.asarray(target_ids),
+                jnp.asarray(target_mask.astype(np.int32)),
+                self.decoder_config,
+            )
+            results.extend(
+                (float(l), bool(g)) for l, g in zip(np.asarray(loss), np.asarray(is_greedy))
+            )
+        return results
 
 
 @register_model("phi3v")

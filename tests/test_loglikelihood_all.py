@@ -1,0 +1,46 @@
+"""Every adapter family supports loglikelihood (capability superset).
+
+The reference implements loglikelihood only for the llava families
+(src/models/_llava_hf.py:169-260, src/models/_llava_onevision.py:219-345) and
+raises NotImplementedError elsewhere; here all adapters share the contract.
+"""
+
+import numpy as np
+import pytest
+
+TINY_IDS = [
+    "qwen2-vl-tiny",
+    "qwen2.5-vl-tiny",
+    "internvl2-tiny",
+    "instructblip-tiny",
+    "idefics2-tiny",
+    "phi3v-tiny",
+    "llava-tiny",
+]
+
+
+@pytest.mark.parametrize("model_id", TINY_IDS)
+def test_loglikelihood_contract(model_id, toy_task_path, toy_dataset):
+    from lmms_owc_tpu.models import get_model
+    from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+    from lmms_owc_tpu.tasks._base import TaskInstance
+
+    model = get_model(model_id, batch_size=2, random_init=True, dtype="float32")
+    tm = TaskManager(include_path=toy_task_path, model_name=model_id)
+    task = get_tasks_as_dict(["toy"], tm)["toy"]
+    model.task_dict["toy"] = task
+
+    reqs = [
+        TaskInstance(
+            request_type="loglikelihood",
+            arguments=("What is this?", task.doc_to_target, task.doc_to_visual, i, "toy", "test"),
+            idx=0,
+            metadata={"task": "toy", "doc_id": i, "repeats": 1},
+        )
+        for i in range(2)
+    ]
+    out = model.loglikelihood(reqs)
+    assert len(out) == 2
+    for loss, is_greedy in out:
+        assert np.isfinite(loss) and loss > 0
+        assert isinstance(is_greedy, bool)
