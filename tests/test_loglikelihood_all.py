@@ -44,3 +44,19 @@ def test_loglikelihood_contract(model_id, toy_task_path, toy_dataset):
     for loss, is_greedy in out:
         assert np.isfinite(loss) and loss > 0
         assert isinstance(is_greedy, bool)
+
+
+@pytest.mark.parametrize("model_id", TINY_IDS)
+def test_model_init_8bit_smoke(model_id):
+    """Mirror of the reference's init matrix (models_test.py:60-73): every family
+    constructs with load_in_8bit and carries quantized linear weights."""
+    import jax
+
+    from lmms_owc_tpu.models import get_model
+
+    model = get_model(model_id, batch_size=2, random_init=True, dtype="float32",
+                      load_in_8bit=True)
+    assert model._int8_applied
+    leaves = jax.tree_util.tree_leaves_with_path(model.params)
+    q8 = [p for p, _ in leaves if "w_q8" in jax.tree_util.keystr(p)]
+    assert q8, f"{model_id}: no quantized weights found"
