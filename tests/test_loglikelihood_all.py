@@ -16,6 +16,7 @@ TINY_IDS = [
     "idefics2-tiny",
     "phi3v-tiny",
     "llava-tiny",
+    "llava-onevision-tiny",
 ]
 
 
