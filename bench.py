@@ -181,6 +181,8 @@ def main() -> None:
         batch_size=batch_size,
         random_init=True,
         dtype="bfloat16",
+        # BENCH_INT8=1: weight-only int8 serving mode (halves weight HBM reads).
+        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "0"))),
     )
 
     rng = np.random.RandomState(0)
