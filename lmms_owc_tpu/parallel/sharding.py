@@ -29,6 +29,10 @@ QWEN_DECODER_RULES: list[tuple[str, P]] = [
     (r"layers/attn/o/w$", P(None, "model", None)),
     (r"layers/mlp/(gate|up)/w$", P(None, None, "model")),
     (r"layers/mlp/down/w$", P(None, "model", None)),
+    # CLIP/SigLIP/InternViT-style tower MLPs (fc1/fc2 under layers/mlp).
+    (r"layers/mlp/fc1/w$", P(None, None, "model")),
+    (r"layers/mlp/fc1/b$", P(None, "model")),
+    (r"layers/mlp/fc2/w$", P(None, "model", None)),
     (r"embed_tokens$", P("model", None)),
     (r"lm_head/w$", P(None, "model")),
     (r"vision/layers/qkv/w$", P(None, None, "model")),

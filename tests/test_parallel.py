@@ -113,3 +113,27 @@ class TestInt8Sharding:
         np.testing.assert_allclose(
             np.asarray(logits_sharded), np.asarray(logits), rtol=2e-4, atol=2e-4
         )
+
+
+class TestTowerSharding:
+    def test_clip_tower_shards(self, mesh):
+        """CLIP/SigLIP-style towers (attn q/k/v/o + mlp fc1/fc2) follow the rules."""
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn.clip import ClipVisionConfig, init_clip_vision_params
+        from lmms_owc_tpu.parallel.sharding import make_param_shardings
+
+        params = {"vision": init_clip_vision_params(
+            jax.random.PRNGKey(0),
+            ClipVisionConfig(hidden_size=64, num_layers=2, num_heads=4,
+                             intermediate_size=128, image_size=28, patch_size=14),
+            jnp.float32,
+        )}
+        sh = make_param_shardings(params, mesh)
+        assert tuple(sh["vision"]["layers"]["attn"]["q"]["w"].spec) == (None, None, "model")
+        assert tuple(sh["vision"]["layers"]["attn"]["o"]["w"].spec) == (None, "model", None)
+        assert tuple(sh["vision"]["layers"]["mlp"]["fc1"]["w"].spec) == (None, None, "model")
+        assert tuple(sh["vision"]["layers"]["mlp"]["fc2"]["w"].spec) == (None, "model", None)
+        # Projection head and embeddings replicated.
+        assert tuple(sh["vision"]["visual_projection"]["w"].spec) == ()
