@@ -791,29 +791,36 @@ def greedy_generate(
 
     kv_mask0 = jnp.pad(attention_mask, ((0, 0), (0, cache_len - l)))
 
+    # Sampling happens at the END of each iteration so the loop carry holds only
+    # the sampled token [B] — carrying the f32 [B, vocab] logits instead costs
+    # ~2x vocab*B*4 bytes of HBM traffic per decode step (measured 19 MB/step at
+    # B=32 on the xplane trace).
+    rng_key, sub0 = jax.random.split(rng_key)
+    token0 = _sample_token(logits, sub0, temperature, top_p, do_sample)
+
     def cond(state):
         step, _, _, _, _, done, _ = state
         return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
 
     def body(state):
-        step, logits, cache, kv_mask, key, done, tokens = state
-        key, subkey = jax.random.split(key)
-        next_token = _sample_token(logits, subkey, temperature, top_p, do_sample)
-        next_token = jnp.where(done, config.pad_token_id, next_token)
-        tokens = tokens.at[:, step].set(next_token)
-        done = done | jnp.any(next_token[:, None] == eos_ids[None, :], axis=-1)
+        step, token, cache, kv_mask, key, done, tokens = state
+        token = jnp.where(done, config.pad_token_id, token)
+        tokens = tokens.at[:, step].set(token)
+        done = done | jnp.any(token[:, None] == eos_ids[None, :], axis=-1)
 
         pos = jnp.broadcast_to(
             (next_positions + step)[None, :, None].astype(jnp.int32), (3, b, 1)
         )
         kv_mask = kv_mask.at[:, l + step].set(1)
         logits, cache = decode_step(
-            params, next_token, pos, cache, jnp.array(l + step, jnp.int32), kv_mask, config
+            params, token, pos, cache, jnp.array(l + step, jnp.int32), kv_mask, config
         )
-        return step + 1, logits, cache, kv_mask, key, done, tokens
+        key, subkey = jax.random.split(key)
+        next_token = _sample_token(logits, subkey, temperature, top_p, do_sample)
+        return step + 1, next_token, cache, kv_mask, key, done, tokens
 
     tokens0 = jnp.full((b, max_new_tokens), config.pad_token_id, jnp.int32)
     done0 = jnp.zeros((b,), jnp.bool_)
-    state = (jnp.array(0, jnp.int32), logits, cache, kv_mask0, rng_key, done0, tokens0)
+    state = (jnp.array(0, jnp.int32), token0, cache, kv_mask0, rng_key, done0, tokens0)
     *_, tokens = jax.lax.while_loop(cond, body, state)
     return tokens
