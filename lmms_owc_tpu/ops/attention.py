@@ -120,17 +120,20 @@ def _flash_kernel(
     import jax.experimental.pallas as pl
 
     i = pl.program_id(2)
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+    # Keep q/k/v in their stored dtype (bf16): the MXU runs bf16-multiply with
+    # f32 accumulation at full rate, while f32xf32 dots run ~8x slower. The
+    # scale folds into the f32 scores after the dot.
+    q = q_ref[0, 0, :, :]
 
     q_abs = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
     def body(kb, carry):
         acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         scores = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [block_q, block_k]
+        ) * scale  # [block_q, block_k] f32
 
         if causal:
             k_abs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -144,8 +147,11 @@ def _flash_kernel(
         correction = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)
         l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        # p in the value dtype for the second dot (bf16 multiply, f32 accumulate);
+        # p is in [0, 1] so the bf16 rounding stays well inside attention noise.
         acc = acc * correction + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         return acc, m_new, l_new
 
