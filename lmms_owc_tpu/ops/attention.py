@@ -22,8 +22,15 @@ import jax.numpy as jnp
 
 __all__ = ["flash_attention", "attention_reference", "gqa_attention_reference"]
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+import os as _os
+
+# Block-size sweep on v5e (end-to-end bench, vision tower [32,16,1024,80]):
+# 128/128 -> 18-19 img/s, 256/512 -> 24.4, 512/1024 -> 24.7, 1024/1024 -> 24.8
+# vs 23.7 for XLA's fused attention. Large q blocks amortize per-program
+# overhead and keep the MXU fed despite head_dim 80 lane padding. None = adapt
+# to the sequence (min(512, Lq) / min(1024, Lk)).
+DEFAULT_BLOCK_Q = int(_os.environ.get("LMMS_OWC_FLASH_BLOCK_Q", "0")) or None
+DEFAULT_BLOCK_K = int(_os.environ.get("LMMS_OWC_FLASH_BLOCK_K", "0")) or None
 
 _NEG_INF = -1e30
 
@@ -183,8 +190,8 @@ def flash_attention(
     causal: bool = False,
     kv_mask: jax.Array | None = None,
     scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
     use_pallas: bool | None = None,
 ) -> jax.Array:
     """Multi-head attention. Pallas kernel on TPU; jnp reference elsewhere.
@@ -204,22 +211,25 @@ def flash_attention(
         if _USE_PALLAS_OVERRIDE is not None:
             use_pallas = _USE_PALLAS_OVERRIDE
         else:
-            # Dispatch by END-TO-END A/B, not kernel microbenchmarks: on v5e the
-            # full eval pipeline runs 18.6-18.9 img/s with XLA attention vs
-            # 14.8-15.0 with the flash kernel at kv 512-1024, even though
-            # isolated chained-timing of the tower/prefill says the opposite
-            # (kernel 1.7x "faster") — isolated timings through the deferred-
-            # execution tunnel do not predict e2e. Keep XLA below 2k context;
-            # the kernel's VMEM tiling is for long-context prefill where the
-            # f32 score matrix genuinely stops fitting. Tunable for experiments
-            # via LMMS_OWC_PALLAS_MIN_KV.
+            # Dispatch by END-TO-END A/B, not kernel microbenchmarks (isolated
+            # timings through the deferred-execution tunnel do not predict e2e).
+            # With bf16 dot operands + large blocks (see DEFAULT_BLOCK_* note)
+            # the kernel beats XLA's fused attention from kv=512 up: 24.4-24.8
+            # img/s vs 23.7 on the full pipeline. Tunable via
+            # LMMS_OWC_PALLAS_MIN_KV.
             import os
 
-            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "2048"))
+            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "512"))
             use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= min_kv
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    if block_q is None:
+        block_q = max((x for x in (128, 256, 384, 512) if x <= lq and lq % x == 0), default=128)
+    if block_k is None:
+        block_k = max(
+            (x for x in (128, 256, 384, 512, 768, 1024) if x <= lk and lk % x == 0), default=128
+        )
     if not use_pallas or lq % block_q != 0 or lk % block_k != 0 or lq < block_q:
         if k.shape[1] != h:
             return gqa_attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
