@@ -1,6 +1,6 @@
 # Developer entry points (parity surface: reference Makefile).
 
-.PHONY: test test-full bench clean format
+.PHONY: test test-full test-tpu bench dryrun-multichip clean
 
 test:  ## fast suite (CPU, virtual 8-device mesh)
 	python -m pytest tests/ -q
