@@ -61,3 +61,30 @@ def test_model_init_8bit_smoke(model_id):
     leaves = jax.tree_util.tree_leaves_with_path(model.params)
     q8 = [p for p, _ in leaves if "w_q8" in jax.tree_util.keystr(p)]
     assert q8, f"{model_id}: no quantized weights found"
+
+
+@pytest.mark.parametrize("model_id", TINY_IDS)
+def test_text_only_generate(model_id, toy_task_path, toy_dataset):
+    """Requests whose doc_to_visual returns [] must work (text-only prompts)."""
+    from lmms_owc_tpu.models import get_model
+    from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+    from lmms_owc_tpu.tasks._base import TaskInstance
+
+    model = get_model(model_id, batch_size=2, random_init=True, dtype="float32")
+    tm = TaskManager(include_path=toy_task_path, model_name=model_id)
+    task = get_tasks_as_dict(["toy"], tm)["toy"]
+    model.task_dict["toy"] = task
+
+    gen_kwargs = {"max_new_tokens": 4, "do_sample": False, "until": None}
+    reqs = [
+        TaskInstance(
+            request_type="generate_until",
+            arguments=("Describe the weather.", gen_kwargs, lambda doc: [], i, "toy", "test"),
+            idx=0,
+            metadata={"task": "toy", "doc_id": i, "repeats": 1},
+        )
+        for i in range(2)
+    ]
+    out = model.generate_until(reqs)
+    assert len(out) == 2
+    assert all(isinstance(t, str) for t in out)
