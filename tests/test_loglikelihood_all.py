@@ -88,3 +88,36 @@ def test_text_only_generate(model_id, toy_task_path, toy_dataset):
     out = model.generate_until(reqs)
     assert len(out) == 2
     assert all(isinstance(t, str) for t in out)
+
+
+@pytest.mark.parametrize("model_id", ["qwen2-vl-tiny", "internvl2-tiny", "idefics2-tiny", "phi3v-tiny"])
+def test_mixed_image_counts_in_one_batch(model_id, toy_task_path, toy_dataset):
+    """One macro batch mixing 0-, 1-, and 2-image requests (span bookkeeping)."""
+    from lmms_owc_tpu.models import get_model
+    from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+    from lmms_owc_tpu.tasks._base import TaskInstance
+
+    model = get_model(model_id, batch_size=3, random_init=True, dtype="float32")
+    tm = TaskManager(include_path=toy_task_path, model_name=model_id)
+    task = get_tasks_as_dict(["toy"], tm)["toy"]
+    model.task_dict["toy"] = task
+
+    def visuals_n(n):
+        def fn(doc):
+            img = task.doc_to_visual(doc)[0]
+            return [img] * n
+        return fn
+
+    gen_kwargs = {"max_new_tokens": 4, "do_sample": False, "until": None}
+    reqs = [
+        TaskInstance(
+            request_type="generate_until",
+            arguments=(f"Prompt {i}.", gen_kwargs, visuals_n(n), i, "toy", "test"),
+            idx=0,
+            metadata={"task": "toy", "doc_id": i, "repeats": 1},
+        )
+        for i, n in enumerate([2, 0, 1])
+    ]
+    out = model.generate_until(reqs)
+    assert len(out) == 3
+    assert all(isinstance(t, str) for t in out)
