@@ -148,10 +148,74 @@ class Model(abc.ABC):
         """Generate free-text responses for each request."""
 
     def generate_until_multi_round(self, requests: list["TaskInstance"]) -> list[list[str]]:
-        """Multi-round conversation protocol; defaults to unsupported."""
-        raise NotImplementedError(
-            f"{type(self).__name__} does not implement generate_until_multi_round"
-        )
+        """Multi-round conversation protocol, generic over any adapter.
+
+        Protocol parity with reference src/models/_qwen2_vl.py:429-464 (the only
+        reference adapter implementing it): round 0 uses the prebuilt context;
+        later rounds call ``doc_to_text(doc, round_idx=r,
+        previous_round_results=[...], last_round_info=...)`` which returns
+        ``(visual, text, terminal, previous_round_results, last_round_info)``.
+        Each round delegates all still-active requests to the adapter's batched
+        :meth:`generate_until` (capability superset: every family gets
+        multi-round). Request args: (ctx, gen_kwargs, doc_to_visual, doc_to_text,
+        doc_id, task, split).
+        """
+
+        class _PseudoReq:
+            __slots__ = ("args",)
+
+            def __init__(self, args):
+                self.args = args
+
+        docs = []
+        for req in requests:
+            task = self.task_dict.get(req.args[5])
+            if isinstance(task, tuple):
+                task = task[1]
+            docs.append(task.dataset[req.args[6]][req.args[4]])
+
+        n = len(requests)
+        rounds: list[list[str]] = [[] for _ in range(n)]
+        infos: list = [None] * n
+        prompts: list = [req.args[0] for req in requests]
+        active = list(range(n))
+        round_idx = 0
+        while active and round_idx <= 16:
+            if round_idx != 0:
+                still_active = []
+                for i in active:
+                    doc_to_text = requests[i].args[3]
+                    _vis, text, terminal, _prev, infos[i] = doc_to_text(
+                        docs[i],
+                        round_idx=round_idx,
+                        previous_round_results=list(rounds[i]),
+                        last_round_info=infos[i],
+                    )
+                    if not terminal:
+                        prompts[i] = text
+                        still_active.append(i)
+                active = still_active
+                if not active:
+                    break
+
+            sub_reqs = [
+                _PseudoReq(
+                    (
+                        prompts[i],
+                        requests[i].args[1],
+                        requests[i].args[2],
+                        requests[i].args[4],
+                        requests[i].args[5],
+                        requests[i].args[6],
+                    )
+                )
+                for i in active
+            ]
+            texts = self.generate_until(sub_reqs)
+            for i, text in zip(active, texts):
+                rounds[i].append(text)
+            round_idx += 1
+        return rounds
 
     def _foreach_chunk_pipelined(self, chunks: list, prepare, run, depth: int = 2) -> list:
         """Process chunks with up to ``depth`` chunks' preparation in flight.

@@ -1,4 +1,5 @@
 """Multi-round generation protocol: end-to-end through engine + fake model."""
+import pytest
 
 
 class TestMultiRound:
@@ -40,4 +41,26 @@ class TestMultiRound:
         )
         samples = results["samples"]["toy_multiround"]
         rounds = samples[0]["resps"][0][0]
+        assert isinstance(rounds, list) and len(rounds) == 2
+
+
+class TestGenericMultiRound:
+    @pytest.mark.parametrize("model_id", ["internvl2-tiny", "idefics2-tiny", "llava-tiny"])
+    def test_base_class_multiround(self, model_id, toy_task_path, toy_dataset):
+        """Generic Model.generate_until_multi_round (superset: reference = qwen-only)."""
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model(model_id, batch_size=2, random_init=True, dtype="float32")
+        tm = TaskManager(include_path=toy_task_path, model_name=model_id)
+        task_dict = get_tasks_as_dict(["toy_multiround"], tm)
+        task = task_dict["toy_multiround"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy_multiround"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=1, bootstrap_iters=0, log_samples=True
+        )
+        rounds = results["samples"]["toy_multiround"][0]["resps"][0][0]
         assert isinstance(rounds, list) and len(rounds) == 2
