@@ -80,3 +80,8 @@ def doc_to_visual(doc: dict) -> list:
 
 def doc_to_target(doc: dict, model_specific_kwargs: dict | None = None) -> str:
     return doc["class_name"].replace("_", " ")
+
+
+def doc_to_choices(doc: dict) -> list:
+    """All class names as multiple-choice options (target included)."""
+    return [name.replace("_", " ") for name in CLASS_NAMES]

@@ -64,3 +64,46 @@ class TestGenericMultiRound:
         )
         rounds = results["samples"]["toy_multiround"][0]["resps"][0][0]
         assert isinstance(rounds, list) and len(rounds) == 2
+
+
+class TestMultipleChoice:
+    """End-to-end multiple_choice output type (one loglikelihood per choice)."""
+
+    def test_fake_model_mc(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import simple_evaluate
+        from lmms_owc_tpu.tasks import TaskManager
+
+        tm = TaskManager(include_path=toy_task_path, model_name="fake")
+        results = simple_evaluate(
+            model_name="fake",
+            model_args="response_mode=target",
+            tasks=["toy_mc"],
+            limit=4,
+            bootstrap_iters=0,
+            task_manager=tm,
+            log_samples=True,
+        )
+        res = results["results"]["toy_mc"]
+        assert "acc,none" in res and "acc_norm,none" in res
+        assert 0.0 <= res["acc,none"] <= 1.0
+        sample = results["samples"]["toy_mc"][0]
+        # One (loss, is_greedy) response per choice (4 toy classes).
+        assert len(sample["resps"]) == 4
+
+    def test_qwen_tiny_mc(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        model = get_model("qwen2-vl-tiny", batch_size=4, random_init=True, dtype="float32")
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task_dict = get_tasks_as_dict(["toy_mc"], tm)
+        task = task_dict["toy_mc"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy_mc"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
+        )
+        res = results["results"]["toy_mc"]
+        assert "acc,none" in res
