@@ -22,7 +22,7 @@ class TestTaskManager:
 
     def test_match_tasks(self, task_manager):
         assert task_manager.match_tasks(["toy*"]) == [
-            "toy", "toy_multiround", "toy_semantic", "toy_suite",
+            "toy", "toy_mc", "toy_multiround", "toy_semantic", "toy_suite",
         ]
 
     def test_listing(self, task_manager):
@@ -46,7 +46,7 @@ class TestConfigurableTask:
 
     def test_tag_loading(self, task_manager):
         task_dict = get_tasks_as_dict(["toy_suite"], task_manager)
-        assert set(task_dict) == {"toy", "toy_semantic"}
+        assert set(task_dict) == {"toy", "toy_mc", "toy_semantic"}
 
     def test_build_requests_sharded(self, task_manager):
         task = get_tasks_as_dict(["toy"], task_manager)["toy"]
