@@ -217,6 +217,28 @@ class Model(abc.ABC):
             round_idx += 1
         return rounds
 
+    def _resolve_loglikelihood_request(self, req) -> tuple[str, str, list]:
+        """(context, continuation_text, visuals) for a loglikelihood request.
+
+        Task-built requests carry (ctx, doc_to_target, doc_to_visual, doc_id,
+        task, split); ``acc_mutual_info``'s unconditional P(choice) requests
+        carry just (ctx, choice) (reference src/data/tasks/_manager.py:578).
+        """
+        args = req.args
+        ctx = args[0]
+        if len(args) < 6:
+            return ctx, str(args[1]), []
+        _, doc_to_target, doc_to_visual, doc_id, task_name, split = args[:6]
+        task = self.task_dict.get(task_name)
+        if isinstance(task, tuple):
+            task = task[1]
+        doc = task.dataset[split][doc_id]
+        continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
+        if isinstance(continuation, list):
+            continuation = continuation[0]
+        visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+        return ctx, str(continuation), visuals
+
     def _foreach_chunk_pipelined(self, chunks: list, prepare, run, depth: int = 2) -> list:
         """Process chunks with up to ``depth`` chunks' preparation in flight.
 

@@ -410,20 +410,13 @@ class Idefics2(Model):
             batch = requests[start : start + self.batch_size]
             rows, all_images, image_counts, cont_lens = [], [], [], []
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                visuals = self._expand_visuals((doc_to_visual(doc) if doc_to_visual else []) or [])
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
+                visuals = self._expand_visuals(visuals)
                 all_images.extend(visuals)
                 image_counts.append(len(visuals))
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + str(continuation))[len(ctx_ids) :]
+                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
                 rows.append(ctx_ids + cont_ids)
                 cont_lens.append(len(cont_ids))
 

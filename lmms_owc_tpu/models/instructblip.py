@@ -349,19 +349,11 @@ class InstructBlip(Model):
             batch = requests[start : start + self.batch_size]
             pixel_rows, qf_rows, text_rows, cont_lens = [], [], [], []
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
                 pixel_rows.append(self._preprocess(visuals))
                 qf_rows.append(self._qformer_encode(ctx))
                 ctx_ids = self.tokenizer.encode(ctx)
-                cont_ids = self.tokenizer.encode(ctx + " " + str(continuation))[len(ctx_ids) :]
+                cont_ids = self.tokenizer.encode(ctx + " " + continuation)[len(ctx_ids) :]
                 text_rows.append(ctx_ids + cont_ids)
                 cont_lens.append(len(cont_ids))
 

@@ -405,19 +405,11 @@ class InternVL2(Model):
             batch = requests[start : start + self.batch_size]
             rows, all_tiles, tile_cursor = [], [], 0
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
                 tiles, tile_counts = self._tile_images(visuals)
                 prompt = self._build_prompt(ctx, tile_counts)
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + str(continuation))[len(ctx_ids) :]
+                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
                 n_tiles = sum(tile_counts)
                 rows.append((ctx_ids + cont_ids, len(cont_ids), tile_cursor))
                 tile_cursor += n_tiles

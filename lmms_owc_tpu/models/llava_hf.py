@@ -462,19 +462,15 @@ class LlavaHf(Model):
             batch = requests[start : start + self.batch_size]
             rows = []
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                visuals = doc_to_visual(doc) if doc_to_visual else []
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
+                doc_to_visual = req.args[2] if len(req.args) >= 6 else None
+                doc_id = req.args[3] if len(req.args) >= 6 else 0
+                task_name = req.args[4] if len(req.args) >= 6 else ""
+                split = req.args[5] if len(req.args) >= 6 else ""
 
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
-                full_ids = self.tokenizer.encode(prompt + " " + str(continuation))
+                full_ids = self.tokenizer.encode(prompt + " " + continuation)
                 expanded_ctx, payload = self._prepare_request(
                     ctx, doc_to_visual, doc_id, task_name, split
                 )

@@ -418,18 +418,15 @@ class LlavaOnevision(Model):
             batch = requests[start : start + self.batch_size]
             rows = []
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
+                ctx, continuation, _visuals = self._resolve_loglikelihood_request(req)
+                doc_to_visual = req.args[2] if len(req.args) >= 6 else None
+                doc_id = req.args[3] if len(req.args) >= 6 else 0
+                task_name = req.args[4] if len(req.args) >= 6 else ""
+                split = req.args[5] if len(req.args) >= 6 else ""
                 expanded_ctx, features = self._prepare(
                     (ctx, None, doc_to_visual, doc_id, task_name, split)
                 )
-                cont_ids = self.tokenizer.encode(str(continuation), add_special_tokens=False) if hasattr(
+                cont_ids = self.tokenizer.encode(continuation, add_special_tokens=False) if hasattr(
                     self.tokenizer, "encode"
                 ) else []
                 rows.append((expanded_ctx + cont_ids, len(cont_ids), features))

@@ -489,19 +489,11 @@ class Phi3v(Model):
             batch = requests[start : start + self.batch_size]
             rows = []
             for req in batch:
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
                 features = [self._encode_one_image(img) for img in visuals]
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + str(continuation))[len(ctx_ids) :]
+                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
                 expanded: list[int] = []
                 img_idx = 0
                 for tok in ctx_ids:

@@ -727,29 +727,29 @@ class Qwen2VL(Model):
 
         from lmms_owc_tpu.nn import qwen2_vl as qvl
 
+        merge_sq = self.config.vision.spatial_merge_size ** 2
         results: list[tuple[float, bool]] = []
         for start in range(0, len(requests), self.batch_size):
             batch = requests[start : start + self.batch_size]
-            # Reuse the batched vision path with generate-style pseudo args.
-            chunk = [
-                (req.args[0], None, req.args[2], req.args[3], req.args[4], req.args[5])
-                for req in batch
-            ]
-            rows, vision_flat = self._prepare_requests_batch(chunk)
+            metas, counts, all_visuals = [], [], []
+            for req in batch:
+                ctx, continuation, visuals = self._resolve_loglikelihood_request(req)
+                metas.append((ctx, continuation))
+                counts.append(len(visuals))
+                all_visuals.extend(visuals)
+            vision_flat, spans_flat, flat_grids = self._encode_images_flat(all_visuals)
 
             full_rows = []
-            for req, (ids, spans, grids) in zip(batch, rows):
-                ctx, doc_to_target, doc_to_visual, doc_id, task_name, split = req.args[:6]
-                task = self.task_dict.get(task_name)
-                if isinstance(task, tuple):
-                    task = task[1]
-                doc = task.dataset[split][doc_id]
-                continuation = doc_to_target(doc) if callable(doc_to_target) else doc_to_target
-                if isinstance(continuation, list):
-                    continuation = continuation[0]
-                prompt = self._build_prompt(ctx, len(grids))
+            img_off = 0
+            for (ctx, continuation), n_images in zip(metas, counts):
+                spans = spans_flat[img_off : img_off + n_images]
+                grids = flat_grids[img_off : img_off + n_images]
+                img_off += n_images
+                token_counts = [(g[0] * g[1] * g[2]) // merge_sq for g in grids]
+                prompt = self._build_prompt(ctx, n_images)
+                ids = self._tokenize_with_images(prompt, token_counts)
                 ctx_ids = self.tokenizer.encode(prompt)
-                full_ids = self.tokenizer.encode(prompt + " " + str(continuation))
+                full_ids = self.tokenizer.encode(prompt + " " + continuation)
                 cont_ids = full_ids[len(ctx_ids) :]
                 full_rows.append((list(ids) + cont_ids, len(cont_ids), spans, grids))
 

@@ -85,10 +85,11 @@ class TestMultipleChoice:
         )
         res = results["results"]["toy_mc"]
         assert "acc,none" in res and "acc_norm,none" in res
+        assert "acc_mutual_info,none" in res
         assert 0.0 <= res["acc,none"] <= 1.0
         sample = results["samples"]["toy_mc"][0]
-        # One (loss, is_greedy) response per choice (4 toy classes).
-        assert len(sample["resps"]) == 4
+        # acc_mutual_info doubles the requests: conditional + unconditional per choice.
+        assert len(sample["resps"]) == 8
 
     def test_qwen_tiny_mc(self, toy_task_path, toy_dataset):
         from lmms_owc_tpu.engine import evaluate
