@@ -43,8 +43,13 @@ log = utils.get_logger(__name__)
 __all__ = ["evaluate", "simple_evaluate"]
 
 
-def _multihost_gather_objects(objs: list, rank: int, world_size: int) -> list | None:
-    """Gather python objects from all processes to rank 0 (None elsewhere)."""
+def _multihost_gather_objects(objs: list, rank: int, world_size: int) -> list:
+    """Allgather python objects; every rank receives the concatenated list.
+
+    (The underlying primitive is an allgather, so decoding on every rank is
+    free; callers that only need the result on rank 0 simply ignore it
+    elsewhere.)
+    """
     if world_size <= 1:
         return list(objs)
     from jax.experimental import multihost_utils
@@ -59,8 +64,6 @@ def _multihost_gather_objects(objs: list, rank: int, world_size: int) -> list | 
     padded = payload + b"\x00" * (max_len - length)
     arr = jnp.frombuffer(padded, dtype=jnp.uint8)
     gathered = np.asarray(multihost_utils.process_allgather(arr))
-    if rank != 0:
-        return None
     out: list = []
     for i in range(world_size):
         blob = gathered[i].tobytes()[: int(np.asarray(lengths)[i][0])]
@@ -184,6 +187,21 @@ def evaluate(
             )
             padding_requests[req_type] += int(gathered.max() - gathered[RANK])
 
+    if WORLD_SIZE > 1:
+        # Union of request types across hosts: a rank that received zero requests
+        # of a type present elsewhere (world_size > doc count, small --limit) must
+        # still enter that type's run loop, or the per-type _sync_processes barrier
+        # counts diverge across hosts and sync_global_devices deadlocks.
+        from jax.experimental import multihost_utils
+        import jax.numpy as jnp
+
+        known_types = ("loglikelihood", "generate_until", "generate_until_multi_round")
+        local = jnp.array([int(t in requests) for t in known_types])
+        gathered_types = np.asarray(multihost_utils.process_allgather(local))
+        for i, t in enumerate(known_types):
+            if gathered_types.reshape(-1, len(known_types))[:, i].any():
+                requests[t]  # defaultdict: materialize the (possibly empty) list
+
     phase_timings["build_requests"] = round(time.perf_counter() - _t_build, 3)
 
     # ------------------------------------------------------------ run the model
@@ -201,7 +219,7 @@ def evaluate(
         cloned_reqs: list = []
         for req in reqs:
             cloned_reqs.extend([req] * req.repeats)
-        if WORLD_SIZE > 1 and padding_requests[req_type] > 0:
+        if WORLD_SIZE > 1 and padding_requests[req_type] > 0 and reqs:
             for _ in range(padding_requests[req_type]):
                 cloned_reqs.extend([reqs[-1]] * reqs[-1].repeats)
 
@@ -210,8 +228,19 @@ def evaluate(
         # (src/models/_base.py:23-53); here it is functional. Keys hash every
         # request arg except the non-serializable doc_to_visual callable at
         # index 2 — doc identity (doc_id, task, split) stays in the key.
+        # Callables that remain in args (doc_to_target at index 1 for
+        # loglikelihood, doc_to_text at index 3 for multi-round) map to their
+        # module-qualified names: stringifying the object itself would embed a
+        # per-process 0x... address and the on-disk cache could never hit again.
+        def _stable_key_part(value):
+            if callable(value):
+                fn = getattr(value, "func", value)  # unwrap functools.partial
+                name = getattr(fn, "__qualname__", type(fn).__qualname__)
+                return f"<fn:{getattr(fn, '__module__', '')}.{name}>"
+            return value
+
         def _cache_key(req):
-            return req.args[:2] + req.args[3:]
+            return tuple(_stable_key_part(v) for v in req.args[:2] + req.args[3:])
 
         cache = model.cache_hook
         if cache.cache_dir is not None:
@@ -259,6 +288,10 @@ def evaluate(
     _t_score = time.perf_counter()
     for task_output in eval_tasks:
         task = task_output.task
+        if not task.instances:
+            # This rank drew no documents for the task (world_size > doc count);
+            # the rank-0 gather below still collects the other ranks' samples.
+            continue
         task.apply_filters()
 
         instances_by_doc_id: dict = defaultdict(list)
@@ -322,9 +355,19 @@ def evaluate(
                 )
                 if RANK == 0:
                     task_output.logged_samples = gathered_samples
-            for metric_key in list(task_output.sample_metrics.keys()):
+            # Every rank must issue an identical collective sequence: a rank with
+            # zero instances for this task has no local metric keys, so agree on
+            # the union of keys first, then gather each in a canonical order.
+            all_keys = sorted(
+                set(
+                    _multihost_gather_objects(
+                        sorted(task_output.sample_metrics.keys()), RANK, WORLD_SIZE
+                    )
+                )
+            )
+            for metric_key in all_keys:
                 gathered_metrics = _multihost_gather_objects(
-                    task_output.sample_metrics[metric_key], RANK, WORLD_SIZE
+                    task_output.sample_metrics.get(metric_key, []), RANK, WORLD_SIZE
                 )
                 if RANK == 0:
                     task_output.sample_metrics[metric_key] = gathered_metrics

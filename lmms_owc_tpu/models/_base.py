@@ -239,6 +239,23 @@ class Model(abc.ABC):
         visuals = (doc_to_visual(doc) if doc_to_visual else []) or []
         return ctx, str(continuation), visuals
 
+    def _encode_continuation(self, continuation: str) -> list[int]:
+        """Token ids for a loglikelihood continuation, encoded on its own.
+
+        Contract (reference src/models/_llava_hf.py:181-183): any word-boundary
+        delimiter is already IN the continuation — the task layer prepends
+        ``target_delimiter`` for multiple_choice requests — so the scored text is
+        ``prompt + continuation`` with no extra join character. Encoding the
+        continuation separately (no special tokens) is deterministic across
+        prompts, unlike slicing ``encode(prompt + continuation)`` at
+        ``len(encode(prompt))``, which drifts when BPE merges across the boundary.
+        """
+        tok = self.tokenizer
+        try:
+            return list(tok.encode(continuation, add_special_tokens=False))
+        except TypeError:
+            return list(tok.encode(continuation))
+
     def _foreach_chunk_pipelined(self, chunks: list, prepare, run, depth: int = 2) -> list:
         """Process chunks with up to ``depth`` chunks' preparation in flight.
 

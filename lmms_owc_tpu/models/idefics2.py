@@ -416,7 +416,7 @@ class Idefics2(Model):
                 image_counts.append(len(visuals))
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 rows.append(ctx_ids + cont_ids)
                 cont_lens.append(len(cont_ids))
 

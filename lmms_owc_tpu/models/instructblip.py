@@ -353,7 +353,7 @@ class InstructBlip(Model):
                 pixel_rows.append(self._preprocess(visuals))
                 qf_rows.append(self._qformer_encode(ctx))
                 ctx_ids = self.tokenizer.encode(ctx)
-                cont_ids = self.tokenizer.encode(ctx + " " + continuation)[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 text_rows.append(ctx_ids + cont_ids)
                 cont_lens.append(len(cont_ids))
 

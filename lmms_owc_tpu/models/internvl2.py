@@ -409,7 +409,7 @@ class InternVL2(Model):
                 tiles, tile_counts = self._tile_images(visuals)
                 prompt = self._build_prompt(ctx, tile_counts)
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 n_tiles = sum(tile_counts)
                 rows.append((ctx_ids + cont_ids, len(cont_ids), tile_cursor))
                 tile_cursor += n_tiles

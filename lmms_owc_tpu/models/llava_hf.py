@@ -468,13 +468,10 @@ class LlavaHf(Model):
                 task_name = req.args[4] if len(req.args) >= 6 else ""
                 split = req.args[5] if len(req.args) >= 6 else ""
 
-                prompt = self._build_prompt(ctx, len(visuals))
-                ctx_ids = self.tokenizer.encode(prompt)
-                full_ids = self.tokenizer.encode(prompt + " " + continuation)
                 expanded_ctx, payload = self._prepare_request(
                     ctx, doc_to_visual, doc_id, task_name, split
                 )
-                cont_ids = full_ids[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 rows.append((expanded_ctx + cont_ids, len(cont_ids), payload))
 
             bucket = pad_to_bucket(max(len(ids) for ids, _, _ in rows))

@@ -426,9 +426,7 @@ class LlavaOnevision(Model):
                 expanded_ctx, features = self._prepare(
                     (ctx, None, doc_to_visual, doc_id, task_name, split)
                 )
-                cont_ids = self.tokenizer.encode(continuation, add_special_tokens=False) if hasattr(
-                    self.tokenizer, "encode"
-                ) else []
+                cont_ids = self._encode_continuation(continuation)
                 rows.append((expanded_ctx + cont_ids, len(cont_ids), features))
 
             bsz = len(rows)

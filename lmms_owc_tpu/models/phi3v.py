@@ -493,7 +493,7 @@ class Phi3v(Model):
                 features = [self._encode_one_image(img) for img in visuals]
                 prompt = self._build_prompt(ctx, len(visuals))
                 ctx_ids = self.tokenizer.encode(prompt)
-                cont_ids = self.tokenizer.encode(prompt + " " + continuation)[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 expanded: list[int] = []
                 img_idx = 0
                 for tok in ctx_ids:

@@ -748,9 +748,7 @@ class Qwen2VL(Model):
                 token_counts = [(g[0] * g[1] * g[2]) // merge_sq for g in grids]
                 prompt = self._build_prompt(ctx, n_images)
                 ids = self._tokenize_with_images(prompt, token_counts)
-                ctx_ids = self.tokenizer.encode(prompt)
-                full_ids = self.tokenizer.encode(prompt + " " + continuation)
-                cont_ids = full_ids[len(ctx_ids) :]
+                cont_ids = self._encode_continuation(continuation)
                 full_rows.append((list(ids) + cont_ids, len(cont_ids), spans, grids))
 
             bucket = pad_to_bucket(max(len(ids) for ids, *_ in full_rows))

@@ -692,6 +692,12 @@ class ConfigurableTask(Task):
             **({"exact_match": exact_match} if "exact_match" in use_metric else {}),
         }
         if "acc_mutual_info" in use_metric and lls_unconditional is not None:
+            # Bug-for-bug parity with the reference: responses here are LOSSES
+            # (pred = argmin above), so argmax of (conditional - unconditional)
+            # selects the LOWEST-mutual-information choice. The reference has the
+            # identical inversion (it moved from logprobs to losses without
+            # flipping this argmax); kept so scores match exactly. The
+            # information-theoretically correct selector would be np.argmin here.
             lls_mi = [c - u for c, u in zip(lls, lls_unconditional)]
             result_dict["acc_mutual_info"] = 1.0 if np.argmax(lls_mi) == gold else 0.0
         return result_dict
@@ -724,15 +730,41 @@ class ConfigurableTask(Task):
                 result_dict[metric] = self._call_metric(metric, gold_list, result)
         return result_dict
 
+    def _metric_protocol(self, metric: str) -> str:
+        """Decide a metric fn's calling convention ONCE, from its signature.
+
+        Dispatching via a TypeError fallback at scoring time would mask
+        TypeErrors raised INSIDE a metric (e.g. comparing str to None on a
+        malformed doc) by silently re-calling it under the wrong protocol.
+        """
+        cache = self.__dict__.setdefault("_metric_protocol_cache", {})
+        proto = cache.get(metric)
+        if proto is None:
+            fn = self._metric_fn_list[metric]
+            try:
+                params = inspect.signature(fn).parameters
+                accepts_kw = any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+                )
+                proto = (
+                    "keyword"
+                    if accepts_kw or ("references" in params and "predictions" in params)
+                    else "items"
+                )
+            except (TypeError, ValueError):  # builtins / C callables
+                proto = "keyword"
+            cache[metric] = proto
+        return proto
+
     def _call_metric(self, metric: str, references: list, predictions) -> float:
-        """Call a metric fn with keyword protocol, falling back to item-pair protocol."""
-        try:
+        """Call a metric fn under its registered protocol (keyword or item-pair)."""
+        if self._metric_protocol(metric) == "keyword":
             score = self._metric_fn_list[metric](
                 references=references,
                 predictions=predictions,
                 **self._metric_fn_kwargs[metric],
             )
-        except TypeError:
+        else:
             score = self._metric_fn_list[metric]([references, predictions])
         if isinstance(score, dict):
             score = score[metric]
