@@ -7,12 +7,17 @@ fetches the raw archive, resolves train/val/test splits, and saves an HF Dataset
 under ``data/<name>``.
 
 Split/metadata resolution (per benchmark):
-  1. ``$LMMS_OWC_ASSETS_DIR/<name>/{metadata.csv,split_coop.csv}`` — the reference's
-     packaged CoOp split tables (schema: folder_name,class_name / filename,split).
-     Supply these for bit-exact split parity with the reference.
-  2. Official split files shipped inside the archive (dtd, fgvc_aircraft, food101,
-     oxford_pets, sun397 partitions, flowers102 setid.mat).
-  3. Seeded CoOp-style random split (50/20/30) — functional fallback, documented
+  1. ``$LMMS_OWC_ASSETS_DIR/<name>/{metadata.csv,split_coop.csv}`` — operator
+     override.
+  2. The CoOp split tables VENDORED in-tree under ``<name>/assets/`` (copied
+     verbatim from the reference's packaged CSVs) — the DEFAULT: a fresh offline
+     checkout reproduces the paper's exact train/val/test splits. Covers all
+     benchmarks except fgvc_aircraft (the reference ships no tables for it and
+     uses the archive's official variant splits, as do we).
+  3. ``split_zhou_*.json`` CoOp split artifacts, if present.
+  4. Official split files shipped inside the archive (dtd, fgvc_aircraft, food101,
+     oxford_pets, sun397 partitions).
+  5. Seeded CoOp-style random split (50/20/30) — functional fallback, documented
      divergence from the reference's packaged splits.
 """
 
@@ -135,21 +140,70 @@ def _fetch(name: str, cache_dir: str) -> Path:
     return root
 
 
-def _load_packaged_splits(name: str) -> tuple | None:
-    """(folder_to_class, split_rows) from reference-schema CSVs, if provided."""
-    assets_dir = os.environ.get("LMMS_OWC_ASSETS_DIR")
-    if not assets_dir:
-        return None
-    meta_fp = Path(assets_dir) / name / "metadata.csv"
-    split_fp = Path(assets_dir) / name / "split_coop.csv"
-    if not (meta_fp.exists() and split_fp.exists()):
-        return None
-    import pandas as pd
+# Where each benchmark's images land under our extraction root, relative to which
+# the packaged split_coop.csv filenames resolve (the reference instead renames each
+# extraction to a canonical dir, e.g. 101_ObjectCategories -> Caltech101 at
+# _caltech101_utils.py:110-124; same images, different directory spelling).
+_PACKAGED_IMAGE_SUBDIR = {
+    "caltech101": "caltech-101/101_ObjectCategories",
+    "dtd": "dtd/images",
+    "eurosat": "2750",
+    "flowers102": "jpg",
+    "food101": "food-101/images",
+    "oxford_pets": "images",
+    "sun397": "SUN397",
+    "ucf101": "UCF-101-midframes",
+}
 
-    meta = pd.read_csv(meta_fp)
-    split = pd.read_csv(split_fp)
-    folder_to_class = dict(zip(meta["folder_name"].astype(str), meta["class_name"]))
-    return folder_to_class, list(zip(split["filename"], split["split"]))
+
+def _load_packaged_splits(name: str) -> dict | None:
+    """Reference-schema split tables (metadata.csv + split_coop.csv [+ labels.csv]).
+
+    Resolution order: ``$LMMS_OWC_ASSETS_DIR/<name>/`` override first, then the
+    tables VENDORED in-tree under ``<name>/assets/`` (copied verbatim from the
+    reference's packaged CoOp splits, e.g.
+    src/data/tasks/_classification/caltech101/assets/split_coop.csv) — so a fresh
+    offline checkout reproduces the paper's exact train/val/test splits by default.
+    """
+    candidates = []
+    assets_dir = os.environ.get("LMMS_OWC_ASSETS_DIR")
+    if assets_dir:
+        candidates.append(Path(assets_dir) / name)
+    candidates.append(Path(__file__).resolve().parent / name / "assets")
+    for base in candidates:
+        meta_fp = base / "metadata.csv"
+        split_fp = base / "split_coop.csv"
+        if not (meta_fp.exists() and split_fp.exists()):
+            continue
+        import pandas as pd
+
+        meta = pd.read_csv(meta_fp)
+        split = pd.read_csv(split_fp)
+        labels_fp = base / "labels.csv"
+        labels_map = None
+        if labels_fp.exists():  # flowers102 / stanford_cars: filename -> class idx
+            labels = pd.read_csv(labels_fp)
+            labels_map = dict(zip(labels["filename"], labels["class_idx"]))
+        return dict(
+            folder_to_class=dict(zip(meta["folder_name"].astype(str), meta["class_name"])),
+            idx_to_class=dict(zip(meta["idx"], meta["class_name"])),
+            labels_map=labels_map,
+            rows=list(zip(split["filename"], split["split"])),
+        )
+    return None
+
+
+def _packaged_rel_to_path(name: str, root: Path, rel: str) -> Path:
+    """Resolve a packaged split filename to the image under our extraction root."""
+    if name == "oxford_pets":
+        # The reference reorganizes the flat images/ dir into per-class folders
+        # (_oxford_pets_utils.py:118-125); our extraction keeps it flat.
+        return root / "images" / Path(rel).name
+    if name == "stanford_cars":
+        split_dir, fname = rel.split("/", 1)  # "train/05266.jpg" -> cars_train/
+        return root / f"cars_{split_dir}" / fname
+    subdir = _PACKAGED_IMAGE_SUBDIR.get(name)
+    return root / subdir / rel if subdir else root / rel
 
 
 def _load_coop_json_splits(name: str, root: Path) -> tuple | None:
@@ -261,11 +315,24 @@ def download_benchmark(name: str, output_dir: str = "data", cache_dir: str = ".c
 
     packaged = _load_packaged_splits(name)
     coop_json = None if packaged is not None else _load_coop_json_splits(name, root)
+    rel_to_path = None
     if packaged is not None:
-        folder_to_class, split_rows = packaged
+        split_rows = packaged["rows"]
+        folder_to_class = packaged["folder_to_class"]
+        labels_map = packaged["labels_map"]
+        idx_to_class = packaged["idx_to_class"]
 
         def class_of(rel: str) -> str:
-            return folder_to_class.get(Path(rel).parent.name, Path(rel).parent.name)
+            if labels_map is not None:
+                return idx_to_class[labels_map[rel]]
+            parent = Path(rel).parent
+            # sun397 keys folders by relative dir ("a/abbey"); the rest by name.
+            return folder_to_class.get(
+                parent.as_posix(), folder_to_class.get(parent.name, parent.name)
+            )
+
+        def rel_to_path(rel: str) -> Path:
+            return _packaged_rel_to_path(name, root, rel)
 
     elif coop_json is not None:
         path_to_class, split_rows = coop_json
@@ -290,8 +357,12 @@ def download_benchmark(name: str, output_dir: str = "data", cache_dir: str = ".c
     rows_by_split: dict[str, list] = {}
     for rel, split in split_rows:
         rows_by_split.setdefault(split, []).append(rel)
+    if rel_to_path is None:
+        def rel_to_path(rel: str) -> Path:
+            return root / rel.split("|")[0]
+
     for split, rels in rows_by_split.items():
-        visuals = [str(root / rel.split("|")[0]) for rel in rels]
+        visuals = [str(rel_to_path(rel)) for rel in rels]
         targets = [class_of(rel) for rel in rels]
         data[split] = datasets.Dataset.from_dict({"visual": visuals, "target": targets})
 

@@ -93,6 +93,9 @@ class TestDownloadConversion:
         }
         (root / "split_zhou_Caltech101.json").write_text(json.dumps(split))
         monkeypatch.chdir(tmp_path)
+        # The vendored reference tables outrank split_zhou JSONs by default;
+        # disable them here to exercise the JSON path in isolation.
+        monkeypatch.setattr(common, "_load_packaged_splits", lambda name: None)
 
         common.download_benchmark("caltech101", output_dir="data", cache_dir=str(cache))
 
@@ -103,3 +106,79 @@ class TestDownloadConversion:
         assert len(ds["test"]) == 2
         assert sorted(set(ds["test"]["target"])) == ["accordion", "anchor"]
         assert all(Path(v).exists() for v in ds["test"]["visual"])
+
+
+# sha256[:16] of the vendored split tables ("split,filename" per row, file order)
+# plus per-split counts — the published CoOp split sizes. Any drift in the vendored
+# CSVs (reference: src/data/tasks/_classification/*/assets/split_coop.csv) fails here.
+VENDORED_SPLIT_PINS = {
+    "caltech101": ("2522459a8f76c3fa", {"train": 4128, "val": 1649, "test": 2465}),
+    "dtd": ("d2c9831614936543", {"train": 2820, "val": 1128, "test": 1692}),
+    "eurosat": ("d333775bb64aeff0", {"train": 13500, "val": 5400, "test": 8100}),
+    "flowers102": ("32ca24990277827f", {"train": 4093, "val": 1633, "test": 2463}),
+    "food101": ("83c15caf88f14348", {"train": 50500, "val": 20200, "test": 30300}),
+    "oxford_pets": ("e8e175d8ea55377c", {"train": 2944, "val": 736, "test": 3669}),
+    "stanford_cars": ("feb781ce05c4c27e", {"train": 6509, "val": 1635, "test": 8041}),
+    "sun397": ("1990e8ef85a4fb94", {"train": 15880, "val": 3970, "test": 19850}),
+    "ucf101": ("2966f38f6efa6727", {"train": 7639, "val": 1898, "test": 3783}),
+}
+
+
+class TestVendoredCoopSplits:
+    """The reference's packaged CoOp split tables are vendored in-tree and load by
+    default — a fresh offline checkout reproduces the paper's exact splits."""
+
+    @pytest.mark.parametrize("name", sorted(VENDORED_SPLIT_PINS))
+    def test_vendored_tables_load_by_default(self, common, name, monkeypatch):
+        import hashlib
+
+        monkeypatch.delenv("LMMS_OWC_ASSETS_DIR", raising=False)
+        packaged = common._load_packaged_splits(name)
+        assert packaged is not None, f"{name}: vendored split tables not found"
+        rows = packaged["rows"]
+        digest = hashlib.sha256(
+            "\n".join(f"{s},{f}" for f, s in rows).encode()
+        ).hexdigest()[:16]
+        counts: dict = {}
+        for _, s in rows:
+            counts[s] = counts.get(s, 0) + 1
+        pin_digest, pin_counts = VENDORED_SPLIT_PINS[name]
+        assert digest == pin_digest
+        assert counts == pin_counts
+
+    @pytest.mark.parametrize("name", sorted(VENDORED_SPLIT_PINS))
+    def test_every_row_resolves_to_a_metadata_class(self, common, name, monkeypatch):
+        monkeypatch.delenv("LMMS_OWC_ASSETS_DIR", raising=False)
+        packaged = common._load_packaged_splits(name)
+        classes = set(packaged["idx_to_class"].values())
+        f2c, labels_map, i2c = (
+            packaged["folder_to_class"],
+            packaged["labels_map"],
+            packaged["idx_to_class"],
+        )
+        for rel, _split in packaged["rows"]:
+            if labels_map is not None:
+                cls = i2c[labels_map[rel]]
+            else:
+                parent = Path(rel).parent
+                cls = f2c.get(parent.as_posix(), f2c.get(parent.name))
+            assert cls in classes, f"{name}: {rel} resolves to {cls!r}"
+
+    def test_packaged_rel_to_path_conventions(self, common):
+        root = Path("/data/x")
+        assert common._packaged_rel_to_path("caltech101", root, "Faces/image_0274.jpg") == (
+            root / "caltech-101/101_ObjectCategories/Faces/image_0274.jpg"
+        )
+        assert common._packaged_rel_to_path("oxford_pets", root, "Abyssinian/Abyssinian_122.jpg") == (
+            root / "images/Abyssinian_122.jpg"
+        )
+        assert common._packaged_rel_to_path("stanford_cars", root, "train/05266.jpg") == (
+            root / "cars_train/05266.jpg"
+        )
+        assert common._packaged_rel_to_path("sun397", root, "a/abbey/sun_x.jpg") == (
+            root / "SUN397/a/abbey/sun_x.jpg"
+        )
+
+    def test_fgvc_aircraft_has_no_tables_like_reference(self, common):
+        # The reference ships no CSVs for fgvc_aircraft; official variant splits apply.
+        assert common._load_packaged_splits("fgvc_aircraft") is None
