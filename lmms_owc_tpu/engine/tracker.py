@@ -227,28 +227,48 @@ class EngineTracker:
             log.warning("could not save samples for %s: %r", task_name, err)
 
     def recreate_metadata_card(self) -> None:
-        """Regenerate the dataset card for the hub results repo (hub-only feature)."""
+        """Regenerate the dataset card for the hub results repo (hub-only feature).
+
+        Full-surface parity with reference src/engine/_tracker.py:386-535: the
+        card's YAML metadata exposes one config per ``model__task`` (and a
+        ``model__results`` config) with per-run datetime splits plus a "latest"
+        split, and the body embeds the latest run's aggregated results JSON.
+        """
         if not (self.api and (self.push_results_to_hub or self.push_samples_to_hub)):
             return
         repo_id = self.details_repo if self.public_repo else self.details_repo_private
         files = self.api.list_repo_files(repo_id=repo_id, repo_type="dataset")
-        results_files = [f for f in files if "_results.json" in f]
-        card = [
-            "# Evaluation results",
-            "",
-            f"Aggregated results for {self.general_config_tracker.model_name}.",
-            "",
-            "| results file |",
-            "|---|",
-            *[f"| {f} |" for f in sorted(results_files)],
-        ]
-        if self.leaderboard_url:
-            card.append(f"\nLeaderboard: {self.leaderboard_url}")
-        if self.point_of_contact:
-            card.append(f"\nPoint of contact: {self.point_of_contact}")
+
+        latest_results: dict = {}
+        latest_results_path = None
+        results_files = sorted(f for f in files if f.endswith("_results.json"))
+        if results_files:
+            latest_results_path = max(
+                results_files, key=lambda f: _datetime_from_filename(Path(f).name)
+            )
+            try:
+                from huggingface_hub import hf_hub_download
+
+                local = hf_hub_download(
+                    repo_id=repo_id, filename=latest_results_path, repo_type="dataset"
+                )
+                latest_results = json.loads(Path(local).read_text()).get("results", {})
+            except Exception as err:  # noqa: BLE001 — card stays useful without it
+                log.warning("could not fetch latest results for the card: %r", err)
+
+        card = build_dataset_card(
+            files=files,
+            model_name=self.general_config_tracker.model_name,
+            model_source=getattr(self.general_config_tracker, "model_source", ""),
+            repo_id=repo_id,
+            latest_results=latest_results,
+            latest_results_path=latest_results_path,
+            leaderboard_url=self.leaderboard_url,
+            point_of_contact=self.point_of_contact,
+        )
         self.api.upload_file(
             repo_id=repo_id,
-            path_or_fileobj=("\n".join(card)).encode("utf-8"),
+            path_or_fileobj=card.encode("utf-8"),
             path_in_repo="README.md",
             repo_type="dataset",
             commit_message="Updating dataset card",
@@ -257,3 +277,127 @@ class EngineTracker:
 
 def sanitize_task_name_for_filename(task_name: str) -> str:
     return re.sub(r"\W", "_", task_name)
+
+
+def _datetime_from_filename(filename: str) -> str:
+    """``{date}_results.json`` / ``{date}_samples_{task}.jsonl`` -> ``{date}``."""
+    return filename.split("_results", 1)[0].split("_samples", 1)[0]
+
+
+def _task_from_samples_filename(filename: str) -> str:
+    return filename.split("_samples_", 1)[1].rsplit(".", 1)[0]
+
+
+def build_dataset_card(
+    files: list[str],
+    model_name: str,
+    model_source: str,
+    repo_id: str,
+    latest_results: dict,
+    latest_results_path: str | None,
+    leaderboard_url: str = "",
+    point_of_contact: str = "",
+) -> str:
+    """Render the results-repo dataset card (pure; unit-testable without the hub).
+
+    Mirrors reference src/engine/_tracker.py:386-535: YAML ``configs`` metadata
+    with one ``model__task`` config per task (+ ``model__results``), each exposing
+    the latest run as a datetime-named split and a "latest" split; body summary
+    embeds the latest aggregated results JSON.
+    """
+    sanitize = lambda s: re.sub(r"[^\w\.]", "_", s)  # noqa: E731
+
+    # Latest run datetime per config (model__task for samples, model__results).
+    latest: dict[str, str] = {}
+    file_of: dict[tuple[str, str], str] = {}
+    for file_path in files:
+        p = Path(file_path)
+        model_dir = str(p.parent)
+        when = _datetime_from_filename(p.name)
+        if p.name.endswith("_results.json"):
+            key = f"{model_dir}__results"
+        elif "_samples_" in p.name:
+            key = f"{model_dir}__{sanitize_task_name_for_filename(_task_from_samples_filename(p.name))}"
+        else:
+            continue
+        if when >= latest.get(key, ""):
+            latest[key] = when
+            file_of[(key, when)] = p.name
+        if key != f"{model_dir}__results":
+            results_key = f"{model_dir}__results"
+            latest.setdefault(results_key, "")
+
+    configs = []
+    for key in sorted(latest):
+        when = latest[key]
+        name = file_of.get((key, when))
+        if name is None:
+            continue
+        configs.append(
+            {
+                "config_name": key,
+                "data_files": [
+                    {"split": sanitize(when), "path": [f"**/{name}"]},
+                    {"split": "latest", "path": [f"**/{name}"]},
+                ],
+            }
+        )
+
+    # --- YAML frontmatter (hand-emitted: flat structure, no yaml dep needed)
+    lines = ["---", f'pretty_name: "Evaluation run of {model_name}"', "configs:"]
+    for cfg in configs:
+        lines.append(f"- config_name: {cfg['config_name']}")
+        lines.append("  data_files:")
+        for df in cfg["data_files"]:
+            lines.append(f"  - split: {df['split']}")
+            lines.append("    path:")
+            for path in df["path"]:
+                lines.append(f"    - '{path}'")
+    lines.append("---")
+
+    # --- body
+    model_link = (
+        f"[{model_name}](https://huggingface.co/{model_name})"
+        if model_source == "hf"
+        else model_name
+    )
+    n_task_configs = sum(1 for c in configs if not c["config_name"].endswith("__results"))
+    n_runs = sum(1 for f in files if f.endswith("_results.json"))
+    body = [
+        "",
+        f"# Dataset Card for Evaluation run of {model_name}",
+        "",
+        f"Dataset automatically created during the evaluation run of model {model_link}.",
+        "",
+        f"The dataset is composed of {n_task_configs} configuration(s), each one corresponding"
+        " to one of the evaluated tasks.",
+        "",
+        f"The dataset has been created from {n_runs} run(s). Each run can be found as a"
+        " specific split in each configuration, the split being named using the timestamp"
+        ' of the run. The "latest" split always points to the latest results.',
+        "",
+        'An additional configuration "results" stores all the aggregated results of the run.',
+        "",
+        "To load the details from a run, you can for instance do the following:",
+        "```python",
+        "from datasets import load_dataset",
+        f'data = load_dataset("{repo_id}", name="<config_name>", split="latest")',
+        "```",
+    ]
+    if latest_results:
+        summary = {"all": latest_results, **latest_results}
+        body += [
+            "",
+            "## Latest results",
+            "",
+            f"These are the latest results from run `{latest_results_path}`:",
+            "",
+            "```python",
+            json.dumps(summary, indent=4, default=utils.convert_non_serializable),
+            "```",
+        ]
+    if leaderboard_url:
+        body += ["", f"Leaderboard: {leaderboard_url}"]
+    if point_of_contact:
+        body += ["", f"Point of contact: {point_of_contact}"]
+    return "\n".join(lines + body) + "\n"

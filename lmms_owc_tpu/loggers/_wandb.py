@@ -1,8 +1,10 @@
 """Weights & Biases logger.
 
 Contract parity with reference src/data/loggers/_wandb.py:16-364: run init from CLI
-arg string, results -> W&B summary/tables/artifacts, per-sample tables per task and
-group. Degrades to a warning when wandb is not installed.
+arg string; results -> W&B summary + eval/group result tables + JSON artifact;
+per-sample tables per task AND per group (grouped tasks concatenate into one table
+with group/task columns), with per-task sample JSON artifacts. Degrades to a
+warning when wandb is not installed.
 """
 
 from __future__ import annotations
@@ -36,6 +38,9 @@ class WandbLogger:
         self.wandb_args = kwargs
         self.run = None
         self.results: dict = {}
+        self.task_names: list = []
+        self.group_names: list = []
+        self.task_configs: dict = {}
         try:
             import wandb
 
@@ -52,6 +57,33 @@ class WandbLogger:
         self.results = copy.deepcopy(results)
         self.task_names = list(results.get("results", {}).keys())
         self.group_names = list(results.get("groups", {}).keys())
+        self.task_configs = results.get("configs", {}) or {}
+
+    # ------------------------------------------------------------------ results
+
+    def _results_table(self, key: str):
+        """One row per (task, metric, filter): Version/Filter/n-shot/Value/Stderr."""
+        head = "Groups" if key == "groups" else "Tasks"
+        table = self._wandb.Table(
+            columns=[head, "Version", "Filter", "num_fewshot", "Metric", "Value", "Stderr"]
+        )
+        for task, metric_dict in self.results.get(key, {}).items():
+            if key != "groups" and task in self.group_names:
+                continue
+            version = self.results.get("versions", {}).get(task)
+            version = None if version == "N/A" else version
+            n_shot = self.results.get("n-shot", {}).get(task)
+            for metric_filter, value in metric_dict.items():
+                metric, _, filter_name = str(metric_filter).partition(",")
+                if metric == "alias" or metric.endswith("_stderr"):
+                    continue
+                stderr = metric_dict.get(f"{metric}_stderr,{filter_name}", "")
+                if isinstance(stderr, float):
+                    stderr = f"{stderr:.4f}"
+                elif stderr == "N/A":
+                    stderr = ""
+                table.add_data(task, version, filter_name, n_shot, metric, str(value), str(stderr))
+        return table
 
     def log_eval_result(self) -> None:
         if self._wandb is None or self.run is None:
@@ -66,34 +98,120 @@ class WandbLogger:
         )
         self.run.summary.update(wandb_summary)
         self.run.log(wandb_summary)
+        self.run.log({"evaluation/eval_results": self._results_table("results")})
+        if self.results.get("groups"):
+            self.run.log({"evaluation/group_eval_results": self._results_table("groups")})
         # Dump the full results blob as an artifact for post-hoc analysis.
         artifact = self._wandb.Artifact("results", type="eval_results")
         with artifact.new_file("results.json", mode="w", encoding="utf-8") as f:
             f.write(json.dumps(self.results, indent=2, default=utils.convert_non_serializable))
         self.run.log_artifact(artifact)
 
+    # ------------------------------------------------------------------ samples
+
+    def _samples_frame(self, task_samples: list[dict], config: dict):
+        """Per-output-type sample table: inputs, raw/filtered predictions, metrics."""
+        import pandas as pd
+
+        output_type = (config or {}).get("output_type", "generate_until")
+        rows = []
+        for sample in task_samples:
+            args = sample.get("arguments") or [["", ""]]
+            instance = str(args[0][0]) if args and len(args[0]) else ""
+            row = {
+                "id": sample.get("doc_id"),
+                "data": instance,
+                "input_len": len(instance),
+                "labels": str(sample.get("target")),
+                "output_type": output_type,
+            }
+            resps = sample.get("resps") or []
+            filtered = sample.get("filtered_resps") or []
+            if output_type == "loglikelihood":
+                row["labels"] = str(args[0][1]) if args and len(args[0]) > 1 else row["labels"]
+                if resps and resps[0]:
+                    loss, greedy = resps[0][0][0], resps[0][0][1]
+                    row["raw_predictions"] = (
+                        f"loss of continuation is {loss}; greedy match: {bool(greedy)}"
+                    )
+                if filtered:
+                    loss, greedy = filtered[0][0], filtered[0][1]
+                    row["filtered_predictions"] = (
+                        f"loss of continuation is {loss}; greedy match: {bool(greedy)}"
+                    )
+            elif output_type == "multiple_choice":
+                row["choices"] = "\n".join(
+                    f"{i}. {a[1]}" for i, a in enumerate(args) if len(a) > 1
+                )
+                # Responses hold losses: the selected choice is the argmin.
+                if resps:
+                    losses = [r[0][0] for r in resps if r]
+                    row["raw_predictions"] = int(min(range(len(losses)), key=losses.__getitem__)) if losses else None
+                if filtered:
+                    losses = [f[0] for f in filtered]
+                    row["filtered_predictions"] = int(min(range(len(losses)), key=losses.__getitem__)) if losses else None
+            else:  # generate_until / multi-round
+                if resps and resps[0]:
+                    row["raw_predictions"] = str(resps[0][0])
+                if filtered:
+                    row["filtered_predictions"] = str(filtered[0])
+            for metric_spec in (config or {}).get("metric_list", []) or []:
+                name = metric_spec.get("metric") if isinstance(metric_spec, dict) else None
+                if name and name in sample:
+                    row[name] = sample[name]
+            # Fall back to whatever per-sample metric values the engine attached.
+            for key, value in sample.items():
+                if key not in row and isinstance(value, (int, float, bool)):
+                    row[key] = value
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    def _log_samples_artifact(self, task_samples: list[dict], task_name: str) -> None:
+        dumped = json.dumps(
+            task_samples, indent=2, default=utils.convert_non_serializable, ensure_ascii=False
+        )
+        artifact = self._wandb.Artifact(task_name, type="samples_by_task")
+        with artifact.new_file(f"{task_name}_eval_samples.json", mode="w", encoding="utf-8") as f:
+            f.write(dumped)
+        self.run.log_artifact(artifact)
+
     def log_eval_samples(self, samples: dict) -> None:
         if self._wandb is None or self.run is None:
             return
-        for task_name, task_samples in samples.items():
+        import pandas as pd
+
+        task_names = [t for t in self.task_names if t not in self.group_names]
+        by_group: dict[str, list[str]] = {}
+        ungrouped: list[str] = []
+        for task_name in task_names:
+            groups = (self.task_configs.get(task_name) or {}).get("group")
+            if groups:
+                for group in [groups] if isinstance(groups, str) else list(groups):
+                    by_group.setdefault(group, []).append(task_name)
+            else:
+                ungrouped.append(task_name)
+
+        for task_name in ungrouped:
+            task_samples = samples.get(task_name) or []
             if not task_samples:
                 continue
-            columns = ["doc_id", "target", "filtered_resps"]
-            metric_cols = [
-                k
-                for k in task_samples[0]
-                if k not in ("doc_id", "doc", "target", "arguments", "resps", "filtered_resps",
-                             "doc_hash", "prompt_hash", "target_hash", "input")
-            ]
-            table = self._wandb.Table(columns=columns + metric_cols)
-            for sample in task_samples:
-                table.add_data(
-                    sample["doc_id"],
-                    str(sample["target"]),
-                    str(sample["filtered_resps"]),
-                    *[sample.get(m) for m in metric_cols],
-                )
-            self.run.log({f"{task_name}_eval_results": table})
+            frame = self._samples_frame(task_samples, self.task_configs.get(task_name))
+            self.run.log({f"{task_name}_eval_results": frame})
+            self._log_samples_artifact(task_samples, task_name)
+
+        for group, group_tasks in by_group.items():
+            frames = []
+            for task_name in group_tasks:
+                task_samples = samples.get(task_name) or []
+                if not task_samples:
+                    continue
+                frame = self._samples_frame(task_samples, self.task_configs.get(task_name))
+                frame["group"] = group
+                frame["task"] = task_name
+                frames.append(frame)
+                self._log_samples_artifact(task_samples, task_name)
+            if frames:
+                self.run.log({f"{group}_eval_results": pd.concat(frames, ignore_index=True)})
 
     def finish(self) -> None:
         if self._wandb is not None and self.run is not None:

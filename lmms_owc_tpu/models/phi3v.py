@@ -256,6 +256,40 @@ class Phi3v(Model):
         arr = (arr - np.asarray(OPENAI_CLIP_MEAN)) / np.asarray(OPENAI_CLIP_STD)
         return arr.transpose(2, 0, 1)
 
+    @staticmethod
+    def _bicubic_resize_tensor(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        """torch ``F.interpolate(mode="bicubic", align_corners=False)`` on [C, H, W].
+
+        The published Phi-3-vision processor builds the global view by bicubic-
+        interpolating the NORMALIZED TENSOR of the padded HD image (torch
+        semantics: cubic convolution a=-0.75, half-pixel centers, border
+        replication, no antialias) — not by PIL-resizing the image. Pixel-parity
+        with torch is pinned in tests/test_phi3_parity.py.
+        """
+        a = -0.75
+
+        def axis_weights(in_size: int, out_size: int):
+            scale = in_size / out_size
+            x = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+            x0 = np.floor(x).astype(np.int64)
+            offsets = np.arange(-1, 3)
+            idx = x0[None, :] + offsets[:, None]  # [4, out]
+            d = np.abs(idx - x[None, :])
+            w = np.where(
+                d <= 1,
+                ((a + 2) * d - (a + 3)) * d * d + 1,
+                np.where(d < 2, (((d - 5) * d + 8) * d - 4) * a, 0.0),
+            )
+            return np.clip(idx, 0, in_size - 1), w.astype(np.float32)
+
+        c, h, w = arr.shape
+        idx_h, w_h = axis_weights(h, out_h)
+        idx_w, w_w = axis_weights(w, out_w)
+        # rows: [C, H, W] -> [C, out_h, W]; then cols -> [C, out_h, out_w].
+        rows = np.einsum("kchw,kh->chw", arr[:, idx_h, :].transpose(1, 0, 2, 3), w_h)
+        out = np.einsum("kchw,kw->chw", rows[:, :, idx_w].transpose(2, 0, 1, 3), w_w)
+        return out.astype(np.float32)
+
     def _hd_transform(self, image, hd_num: int):
         """Published Phi-3-vision HD transform (processing_phi3_v.py algorithm):
         transpose portrait images, scale width to the largest hd_num-bounded
@@ -328,7 +362,9 @@ class Phi3v(Model):
                 .transpose(1, 3, 0, 2, 4)
                 .reshape(h_crop * w_crop, 3, size, size)
             )
-            glb = self._to_chw_normalized(hd.resize((size, size), Image.BICUBIC))
+            # Global view: torch-convention bicubic of the normalized tensor
+            # (published processing_phi3_v.py order), NOT a PIL resize of the image.
+            glb = self._bicubic_resize_tensor(hd_arr, size, size)
             pixels = np.concatenate([glb[None], crops])
 
         feats = clip_vision_forward(

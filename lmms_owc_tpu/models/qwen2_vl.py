@@ -213,6 +213,47 @@ class Qwen2VL(Model):
 
         from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
 
+        # int8 serving builds the full-precision tree on HOST and streams it to
+        # the accelerator layer-by-layer (ops.quant.stream_quantize_to_device):
+        # init-then-quantize would keep bf16 + int8 alive together and OOM a
+        # 16 GB v5e for the 7B flagship.
+        import contextlib
+
+        build_ctx = contextlib.nullcontext()
+        if self.load_in_8bit:
+            build_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+
+        with build_ctx:
+            self._build_params(dtype, qvl, qvl25)
+
+        if self.load_in_8bit:
+            # Weight-only int8 (bitsandbytes load_in_8bit equivalent, reference
+            # src/models/_base.py:116-121): linear kernels + lm_head stored int8
+            # in HBM, upcast fused into the MXU matmul. Streamed host->device so
+            # the bf16 tree is never device-resident; precedes mesh sharding.
+            from lmms_owc_tpu.ops.quant import stream_quantize_to_device
+
+            self.params = stream_quantize_to_device(self.params)
+            self._int8_applied = True
+            log.info("stream-quantized linear weights to int8 (weight-only)")
+
+        self.mesh = None
+        if self.use_mesh:
+            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+            from lmms_owc_tpu.parallel.sharding import shard_params
+
+            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
+            self.params = shard_params(self.params, self.mesh)
+
+        self._rng = jax.random.PRNGKey(self.jax_random_seed)
+        self.batch_sizes = {}
+
+    def _build_params(self, dtype, qvl, qvl25) -> None:
+        """Build config/params/tokenizer (on the ambient default device)."""
+        import jax
+
+        from lmms_owc_tpu.nn.loader import load_config_json, load_safetensors_state
+
         if self.pretrained is not None and Path(self.pretrained).exists():
             hf_cfg = load_config_json(self.pretrained)
             self.is_v25 = hf_cfg.get("model_type") == "qwen2_5_vl"
@@ -244,39 +285,19 @@ class Qwen2VL(Model):
                     preset.get("vision_config", {})
                 )
                 self.params = qvl.init_decoder_params(
-                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype,
+                    host_rng=self.load_in_8bit,
                 )
                 self.params["vision"] = qvl25.init_vision25_params(
                     jax.random.PRNGKey(self.jax_random_seed + 1), self.vision25_config, dtype
                 )
             else:
                 self.params = qvl.init_params(
-                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype,
+                    host_rng=self.load_in_8bit,
                 )
             self.tokenizer = _FallbackTokenizer()
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
-
-        if self.load_in_8bit:
-            # Weight-only int8 (bitsandbytes load_in_8bit equivalent,
-            # reference src/models/_base.py:116-121): linear kernels + lm_head
-            # stored int8 in HBM, upcast fused into the MXU matmul. Applied here
-            # (not in the base class) so quantization precedes mesh sharding.
-            from lmms_owc_tpu.ops.quant import quantize_params_int8
-
-            self.params = quantize_params_int8(self.params)
-            self._int8_applied = True
-            log.info("quantized linear weights to int8 (weight-only)")
-
-        self.mesh = None
-        if self.use_mesh:
-            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
-            from lmms_owc_tpu.parallel.sharding import shard_params
-
-            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
-            self.params = shard_params(self.params, self.mesh)
-
-        self._rng = jax.random.PRNGKey(self.jax_random_seed)
-        self.batch_sizes = {}
 
     @property
     def eos_token_ids(self) -> list[int]:

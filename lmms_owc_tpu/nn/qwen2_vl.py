@@ -163,15 +163,40 @@ _VISION_ACTS = {"quick_gelu": quick_gelu, "gelu": gelu, "silu": jax.nn.silu}
 # ======================================================================== init
 
 
+def _make_w(dtype, host_rng: bool):
+    """Weight initializer: jax threefry, or numpy PCG64 for huge host builds.
+
+    Threefry on CPU takes tens of minutes for a 7B+ tree; the streaming-int8
+    path (random-init benchmarking only — checkpoints never touch this) seeds
+    numpy from the jax key data instead, cutting host init to seconds. Same
+    distribution, different stream.
+    """
+    if not host_rng:
+        def w(k, shape, scale=0.02):
+            return (jax.random.normal(k, shape) * scale).astype(dtype)
+
+        return w
+
+    def w(k, shape, scale=0.02):
+        try:
+            data = np.asarray(jax.random.key_data(k))  # typed PRNG keys
+        except TypeError:
+            data = np.asarray(k)  # raw uint32 key arrays
+        rng = np.random.default_rng(int(data.ravel()[-1]))
+        return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * scale, dtype)
+
+    return w
+
+
 def init_decoder_params(
-    key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16, attn_bias: bool = True
+    key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16, attn_bias: bool = True,
+    host_rng: bool = False,
 ) -> dict:
     """Random-init the text decoder tree (stacked layers, no vision tower)."""
     keys = jax.random.split(key, 4)
     kit = iter(keys)
 
-    def w(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape) * scale).astype(dtype)
+    w = _make_w(dtype, host_rng)
 
     h, kvh, hd = config.hidden_size, config.num_kv_heads, config.head_dim
     nh, inter, L = config.num_heads, config.intermediate_size, config.num_layers
@@ -208,14 +233,15 @@ def init_decoder_params(
     return params
 
 
-def init_params(key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16) -> dict:
+def init_params(
+    key: jax.Array, config: Qwen2VLConfig, dtype=jnp.bfloat16, host_rng: bool = False
+) -> dict:
     """Random-init full parameter tree (decoder layers stacked on axis 0)."""
     keys = jax.random.split(key, 16)
     kit = iter(keys)
-    params = init_decoder_params(next(kit), config, dtype, attn_bias=True)
+    params = init_decoder_params(next(kit), config, dtype, attn_bias=True, host_rng=host_rng)
 
-    def w(k, shape, scale=0.02):
-        return (jax.random.normal(k, shape) * scale).astype(dtype)
+    w = _make_w(dtype, host_rng)
 
     h = config.hidden_size
 

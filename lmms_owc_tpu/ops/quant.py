@@ -24,6 +24,7 @@ __all__ = [
     "dequantize_int8",
     "quantize_int8",
     "quantize_params_int8",
+    "stream_quantize_to_device",
 ]
 
 # Parent-key names whose "w" must stay full-precision: patch embeddings and the
@@ -78,5 +79,49 @@ def quantize_params_int8(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE)
                 return out
             return {k: walk(v, k) for k, v in node.items()}
         return node
+
+    return walk(tree, None)
+
+
+def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
+    """HOST-resident param tree -> accelerator tree with eligible kernels int8.
+
+    Init-then-quantize keeps the full-precision tree and the int8 tree alive
+    simultaneously (~1.5x model bytes at peak), which OOMs a 16 GB v5e for 7B
+    models. This streams instead: stacked kernels upload and quantize ONE layer
+    slice at a time (the bf16 slice is donated into the quantize program and
+    freed immediately), so peak accelerator footprint is approximately the
+    final quantized bytes plus a single layer slice. Replaces bitsandbytes'
+    load-time quantized checkpoint loading (reference src/models/_base.py:116-121)
+    for checkpoints too large to round-trip through full precision on device.
+
+    ``tree`` leaves must live on host (numpy or committed-CPU jax arrays):
+    build them under ``jax.default_device(cpu)``.
+    """
+    device = jax.devices()[0]
+    quantize = jax.jit(quantize_int8, donate_argnums=0)
+
+    def to_device(leaf):
+        return jax.device_put(leaf, device)
+
+    def quantize_streamed(w) -> dict:
+        if w.ndim == 3 and w.shape[0] > 1:
+            qs, scales = [], []
+            for i in range(w.shape[0]):
+                out = quantize(to_device(w[i]))
+                qs.append(out["q"])
+                scales.append(out["scale"])
+            return {"q": jnp.stack(qs), "scale": jnp.stack(scales)}
+        return quantize(to_device(w))
+
+    def walk(node, key: str | None):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if key not in exclude and w is not None and getattr(w, "ndim", 0) >= 2:
+                out = {k: to_device(v) for k, v in node.items() if k != "w"}
+                out["w_q8"] = quantize_streamed(w)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return to_device(node)
 
     return walk(tree, None)

@@ -124,3 +124,114 @@ def test_wandb_logger_degrades_to_noop():
     logger.log_eval_result()
     logger.log_eval_samples({"toy": [{"doc_id": 0, "resps": [["a"]]}]})
     logger.finish()
+
+
+def test_wandb_logger_tables_and_group_samples(monkeypatch):
+    """With a stub wandb module: result/group tables, per-task + per-group sample
+    tables (grouped tasks concatenate with group/task columns), JSON artifacts —
+    mirroring reference src/data/loggers/_wandb.py:123-364."""
+    import sys
+    import types
+
+    logged: list[dict] = []
+    artifacts: list[str] = []
+
+    class _Table:
+        def __init__(self, columns):
+            self.columns = columns
+            self.rows = []
+
+        def add_data(self, *row):
+            self.rows.append(row)
+
+    class _File:
+        def __init__(self, *a, **k):
+            pass
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def write(self, _):
+            pass
+
+    class _Artifact:
+        def __init__(self, name, type):
+            artifacts.append(name)
+
+        def new_file(self, *a, **k):
+            return _File()
+
+    class _Summary(dict):
+        def update(self, d):
+            dict.update(self, d)
+
+    class _Run:
+        config = types.SimpleNamespace(update=lambda *a, **k: None)
+        summary = _Summary()
+
+        def log(self, payload):
+            logged.append(payload)
+
+        def log_artifact(self, a):
+            pass
+
+        def finish(self):
+            pass
+
+    stub = types.SimpleNamespace(
+        init=lambda **k: _Run(), Table=_Table, Artifact=_Artifact
+    )
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    from lmms_owc_tpu.loggers import WandbLogger
+
+    logger = WandbLogger(project="x")
+    results = {
+        "results": {
+            "grp": {"acc,none": 0.5},
+            "t1": {"exact_match,none": 1.0, "exact_match_stderr,none": 0.1},
+            "t2": {"exact_match,none": 0.0},
+        },
+        "groups": {"grp": {"acc,none": 0.5}},
+        "versions": {"t1": "Yaml", "t2": "Yaml", "grp": "N/A"},
+        "n-shot": {"t1": 0, "t2": 0},
+        "configs": {
+            "t1": {"output_type": "generate_until", "group": "grp",
+                   "metric_list": [{"metric": "exact_match"}]},
+            "t2": {"output_type": "generate_until", "group": "grp",
+                   "metric_list": [{"metric": "exact_match"}]},
+        },
+        "config": {},
+    }
+    logger.post_init(results)
+    logger.log_eval_result()
+
+    eval_tables = [p for p in logged if "evaluation/eval_results" in p]
+    group_tables = [p for p in logged if "evaluation/group_eval_results" in p]
+    assert eval_tables and group_tables
+    table = eval_tables[0]["evaluation/eval_results"]
+    # group rows are excluded from the per-task table; stderr filled when present
+    tasks_col = [r[0] for r in table.rows]
+    assert set(tasks_col) == {"t1", "t2"}
+    t1_row = next(r for r in table.rows if r[0] == "t1")
+    assert t1_row[-1] == "0.1000"
+
+    sample = {
+        "doc_id": 0,
+        "target": "cat",
+        "arguments": [["What?", ""]],
+        "resps": [["a cat"]],
+        "filtered_resps": ["a cat"],
+        "exact_match": 1.0,
+    }
+    logger.log_eval_samples({"t1": [sample], "t2": [sample]})
+    group_sample_tables = [p for p in logged if "grp_eval_results" in p]
+    assert group_sample_tables, "grouped tasks must log one concatenated group table"
+    frame = group_sample_tables[0]["grp_eval_results"]
+    assert set(frame["task"]) == {"t1", "t2"}
+    assert (frame["group"] == "grp").all()
+    assert "exact_match" in frame.columns
+    assert artifacts.count("t1") == 1 and artifacts.count("t2") == 1

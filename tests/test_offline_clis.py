@@ -76,3 +76,63 @@ class TestEvalRankingCli:
         online_block = result.stdout.split("Online Elo ratings on toytask:")[1].splitlines()
         first_row = online_block[1]
         assert "model-good" in first_row
+
+
+class TestDatasetCard:
+    """build_dataset_card: full metadata-card parity (reference _tracker.py:386-535)."""
+
+    def test_card_configs_and_latest_results(self):
+        from lmms_owc_tpu.engine.tracker import build_dataset_card
+
+        files = [
+            "org__model/2026-08-01T00-00-00.0_results.json",
+            "org__model/2026-08-02T00-00-00.0_results.json",
+            "org__model/2026-08-01T00-00-00.0_samples_dtd_base.jsonl",
+            "org__model/2026-08-02T00-00-00.0_samples_dtd_base.jsonl",
+            "org__model/2026-08-02T00-00-00.0_samples_caltech101_base.jsonl",
+        ]
+        card = build_dataset_card(
+            files=files,
+            model_name="org/model",
+            model_source="hf",
+            repo_id="org/lmms-eval-results",
+            latest_results={"dtd_base": {"exact_match,none": 0.5}},
+            latest_results_path="org__model/2026-08-02T00-00-00.0_results.json",
+            leaderboard_url="https://example.org/lb",
+            point_of_contact="owner@example.org",
+        )
+        # YAML configs: model__results + one per task, each with a datetime and latest split
+        assert "config_name: org__model__results" in card
+        assert "config_name: org__model__dtd_base" in card
+        assert "config_name: org__model__caltech101_base" in card
+        assert "- split: latest" in card
+        # only the LATEST run's file is listed for each config
+        assert "2026-08-02T00-00-00.0_samples_dtd_base.jsonl" in card
+        assert "2026-08-01T00-00-00.0_samples_dtd_base.jsonl" not in card
+        # body: model link, run counts, embedded latest results
+        assert "[org/model](https://huggingface.co/org/model)" in card
+        assert "2 run(s)" in card
+        assert '"exact_match,none": 0.5' in card
+        assert "Leaderboard: https://example.org/lb" in card
+        assert "Point of contact: owner@example.org" in card
+        # frontmatter well-formed
+        assert card.startswith("---\n") and "\n---\n" in card
+
+    def test_card_yaml_frontmatter_parses(self):
+        import yaml
+
+        from lmms_owc_tpu.engine.tracker import build_dataset_card
+
+        card = build_dataset_card(
+            files=["m/2026-08-02T00-00-00.0_results.json"],
+            model_name="m",
+            model_source="",
+            repo_id="org/repo",
+            latest_results={},
+            latest_results_path=None,
+        )
+        front = card.split("---\n")[1]
+        meta = yaml.safe_load(front)
+        assert meta["configs"][0]["config_name"] == "m__results"
+        splits = [d["split"] for d in meta["configs"][0]["data_files"]]
+        assert "latest" in splits

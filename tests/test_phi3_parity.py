@@ -123,3 +123,39 @@ class TestPhi3vHDTransform:
         feats = model._encode_one_image(img)
         # half*(half+1) + glb_GN = 1*2 + 1 = 3
         assert feats.shape[0] == 3
+
+
+class TestGlobalViewTorchBicubic:
+    """The HD global view uses torch tensor-bicubic semantics (published
+    processing_phi3_v.py order): pixel parity vs torch.nn.functional.interpolate."""
+
+    @pytest.mark.parametrize("in_hw,out_hw", [((672, 1008), (336, 336)),
+                                              ((336, 672), (336, 336)),
+                                              ((100, 73), (336, 336)),
+                                              ((50, 50), (200, 100))])
+    def test_matches_torch_interpolate(self, in_hw, out_hw):
+        import torch
+        import torch.nn.functional as F
+
+        from lmms_owc_tpu.models.phi3v import Phi3v
+
+        rng = np.random.RandomState(0)
+        arr = rng.randn(3, *in_hw).astype(np.float32)
+        ours = Phi3v._bicubic_resize_tensor(arr, *out_hw)
+        theirs = F.interpolate(
+            torch.from_numpy(arr)[None], size=out_hw, mode="bicubic", align_corners=False
+        )[0].numpy()
+        # f32 accumulation-order noise only (observed max ~3e-5 on upscales).
+        np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=1e-5)
+
+    def test_global_view_enters_pipeline(self, toy_task_path, toy_dataset):
+        """Integration: the tensor-bicubic global view flows through _encode_one_image."""
+        from PIL import Image
+
+        from lmms_owc_tpu.models import get_model
+
+        model = get_model("phi3v-tiny", batch_size=1, random_init=True, dtype="float32")
+        rng = np.random.RandomState(0)
+        img = Image.fromarray(rng.randint(0, 255, (50, 80, 3), dtype=np.uint8))
+        feats = model._encode_one_image(img)
+        assert feats.ndim == 2 and np.isfinite(feats).all()

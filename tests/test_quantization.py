@@ -157,3 +157,55 @@ class TestInt8OtherAdapters:
             model=model, task_dict=task_dict, limit=2, bootstrap_iters=0, log_samples=True
         )
         assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
+
+
+class TestStreamQuantize:
+    """stream_quantize_to_device: host tree -> device int8, numerically identical
+    to post-hoc quantize_params_int8 (the 7B-enabler: bf16 never device-resident)."""
+
+    def test_matches_posthoc_quantization(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.ops.quant import quantize_params_int8, stream_quantize_to_device
+
+        rng = np.random.RandomState(0)
+        tree = {
+            "layers": {
+                "mlp": {
+                    "down": {"w": jnp.asarray(rng.randn(3, 16, 8), jnp.float32)},
+                    "gate": {"w": jnp.asarray(rng.randn(3, 8, 16), jnp.float32)},
+                },
+            },
+            "lm_head": {"w": jnp.asarray(rng.randn(8, 32), jnp.float32)},
+            "embed_tokens": jnp.asarray(rng.randn(32, 8), jnp.float32),
+            "final_norm": {"scale": jnp.ones(8, jnp.float32)},
+        }
+        posthoc = quantize_params_int8(tree)
+        streamed = stream_quantize_to_device(jax.tree.map(np.asarray, tree))
+
+        flat_a = jax.tree.leaves(posthoc)
+        flat_b = jax.tree.leaves(streamed)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == np.int8:
+                # XLA folds /127.0 into a reciprocal multiply under jit; a 1-ulp
+                # scale difference can flip the round() of knife-edge values by
+                # exactly one quantization level. Bound: |diff| <= 1, rare.
+                diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+                assert diff.max() <= 1
+                assert (diff != 0).mean() < 0.01
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    def test_adapter_stream_path_generates(self, toy_task_path, toy_dataset):
+        from lmms_owc_tpu.models import get_model
+
+        model = get_model(
+            "qwen2-vl-tiny", batch_size=2, random_init=True, dtype="float32",
+            load_in_8bit=True,
+        )
+        assert model._int8_applied
+        assert "w_q8" in model.params["layers"]["mlp"]["down"]
