@@ -161,7 +161,16 @@ def _concepts_spacy(texts: list[str], skip_words: list[str], remove_prefix_words
     if _spacy_model is None:
         import spacy
 
-        _spacy_model = spacy.load("en_core_web_lg")
+        try:
+            _spacy_model = spacy.load("en_core_web_lg")
+        except OSError:
+            # Model not downloaded: fetch it, exactly as the reference does
+            # (src/data/pipelines/text/_text.py:36-45), before any non-parity
+            # fallback chunking is considered.
+            import spacy.cli
+
+            spacy.cli.download("en_core_web_lg")
+            _spacy_model = spacy.load("en_core_web_lg")
     all_concepts = []
     for doc in _spacy_model.pipe(texts, batch_size=max(1, len(texts))):
         concepts: list[str] = []

@@ -10,11 +10,15 @@ normalized golds. Aggregation reports instance-level accuracy over subjects.
 from __future__ import annotations
 
 import ast
+import logging
+import os
 import random
 import re
 from collections import defaultdict
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 __all__ = ["aggregate_results", "doc_to_text", "doc_to_visual", "doc_to_target", "process_results"]
 
@@ -253,13 +257,65 @@ def process_reasoning_results(doc: dict, results: list[str]) -> dict:
     }
 
 
+def _get_chat_response(content: str, max_tokens: int, retries: int = 5) -> str:
+    """OpenAI-compatible chat-completions judge call with retry.
+
+    Parity with reference src/data/tasks/_examples/mmmu/_mmmu_utils.py:148-193:
+    same system prompt, temperature 0.2, and retry/backoff contract. Talks plain
+    HTTP to ``$OPENAI_API_URL`` (``Authorization: Bearer $OPENAI_API_KEY``,
+    model ``$MODEL_VERSION``) instead of requiring the openai SDK.
+    """
+    import time
+
+    import requests
+
+    url = os.getenv("OPENAI_API_URL", "https://api.openai.com/v1/chat/completions")
+    payload = {
+        "model": os.getenv("MODEL_VERSION", "gpt-4o-2024-08-06"),
+        "messages": [
+            {
+                "role": "system",
+                "content": "You are a helpful and precise assistant for checking"
+                " the correctness of the answer.",
+            },
+            {"role": "user", "content": content},
+        ],
+        "temperature": 0.2,
+        "max_tokens": max_tokens,
+    }
+    headers = {"Authorization": f"Bearer {os.getenv('OPENAI_API_KEY', '')}"}
+    for attempt in range(retries):
+        try:
+            response = requests.post(url, json=payload, headers=headers, timeout=60)
+            response.raise_for_status()
+            return response.json()["choices"][0]["message"]["content"].strip()
+        except Exception as err:  # noqa: BLE001 — same catch-all as the reference
+            log.warning("judge request failed on attempt %d: %s", attempt + 1, err)
+            if attempt == retries - 1:
+                return ""
+            time.sleep(10)
+    return ""
+
+
 def aggregate_judge_results(results: list[dict]) -> float:
     """Judge-scored accuracy of free-form reasoning answers.
 
-    The reference uses a GPT API judge (src/data/tasks/_examples/mmmu/_mmmu_utils.py:
-    _get_chat_response); here the local Llama-3.2 judge pipeline scores whether each
-    response contains the reference answer.
+    When ``OPENAI_API_KEY`` is set, each response is scored 0/1 by the GPT API
+    judge exactly like the reference (_get_chat_response); otherwise the local
+    Llama-3.2 judge pipeline scores whether each response contains the answer.
     """
+    if os.getenv("OPENAI_API_KEY"):
+        scores = []
+        for r in results:
+            prompt = (
+                f"Question answer: {r['answer']}\nModel response: {r['response']}\n"
+                "Does the model response arrive at the same answer? Reply with"
+                ' exactly "1" for yes or "0" for no.'
+            )
+            verdict = _get_chat_response(prompt, max_tokens=16)
+            scores.append(1 if verdict.strip().startswith("1") else 0)
+        return float(np.mean(scores)) if scores else 0.0
+
     from lmms_owc_tpu.pipelines.text import textual_inclusion_llama32
 
     preds = [r["response"] for r in results]

@@ -123,3 +123,72 @@ class TestMuirbench:
             {"pred": "B", "task": "t1", "answer": "A"},
         ]
         assert muir.aggregate_muirbench_score(results) == 0.5
+
+
+class TestMMMUJudgeHelper:
+    """GPT-judge HTTP helper parity (reference _mmmu_utils.py:148-193)."""
+
+    def _load_utils(self):
+        import importlib.util
+        from pathlib import Path
+
+        path = (
+            Path(__file__).resolve().parent.parent
+            / "lmms_owc_tpu/tasks/configs/examples/mmmu/_mmmu_utils.py"
+        )
+        spec = importlib.util.spec_from_file_location("mmmu_utils_judge_test", path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+        return module
+
+    def test_chat_response_success(self, monkeypatch):
+        utils_mod = self._load_utils()
+        captured = {}
+
+        class _Resp:
+            def raise_for_status(self):
+                pass
+
+            def json(self):
+                return {"choices": [{"message": {"content": " 1 "}}]}
+
+        def fake_post(url, json=None, headers=None, timeout=None):
+            captured.update(url=url, payload=json, headers=headers)
+            return _Resp()
+
+        import requests
+
+        monkeypatch.setattr(requests, "post", fake_post)
+        monkeypatch.setenv("OPENAI_API_KEY", "k")
+        monkeypatch.setenv("MODEL_VERSION", "judge-model")
+        out = utils_mod._get_chat_response("is it right?", max_tokens=16)
+        assert out == "1"
+        assert captured["payload"]["model"] == "judge-model"
+        assert captured["payload"]["temperature"] == 0.2
+        assert captured["payload"]["messages"][0]["role"] == "system"
+        assert captured["headers"]["Authorization"] == "Bearer k"
+
+    def test_chat_response_exhausts_retries(self, monkeypatch):
+        utils_mod = self._load_utils()
+        calls = []
+
+        def fake_post(*a, **k):
+            calls.append(1)
+            raise ConnectionError("down")
+
+        import requests
+
+        monkeypatch.setattr(requests, "post", fake_post)
+        monkeypatch.setattr("time.sleep", lambda s: None)
+        assert utils_mod._get_chat_response("x", max_tokens=4, retries=3) == ""
+        assert len(calls) == 3
+
+    def test_judge_aggregation_uses_api_when_key_set(self, monkeypatch):
+        utils_mod = self._load_utils()
+        monkeypatch.setenv("OPENAI_API_KEY", "k")
+        monkeypatch.setattr(utils_mod, "_get_chat_response", lambda c, max_tokens: "1")
+        score = utils_mod.aggregate_judge_results(
+            [{"answer": "A", "response": "the answer is A"},
+             {"answer": "B", "response": "the answer is B"}]
+        )
+        assert score == 1.0
