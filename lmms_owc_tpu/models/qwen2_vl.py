@@ -213,24 +213,24 @@ class Qwen2VL(Model):
 
         from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
 
-        # int8 serving builds the full-precision tree on HOST and streams it to
-        # the accelerator layer-by-layer (ops.quant.stream_quantize_to_device):
-        # init-then-quantize would keep bf16 + int8 alive together and OOM a
-        # 16 GB v5e for the 7B flagship.
+        # int8 serving (bitsandbytes load_in_8bit equivalent, reference
+        # src/models/_base.py:116-121): linear kernels + lm_head stored int8 in
+        # HBM, upcast fused into the MXU matmul; precedes mesh sharding.
+        # Init-then-quantize would keep bf16 + int8 alive together and OOM a
+        # 16 GB v5e for the 7B flagship, so the bf16 tree is never fully
+        # device-resident: checkpoints build on HOST and stream layer-by-layer;
+        # random-init generates + quantizes directly on device (_build_params).
         import contextlib
 
+        checkpoint_exists = self.pretrained is not None and Path(self.pretrained).exists()
         build_ctx = contextlib.nullcontext()
-        if self.load_in_8bit:
+        if self.load_in_8bit and checkpoint_exists:
             build_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
 
         with build_ctx:
             self._build_params(dtype, qvl, qvl25)
 
-        if self.load_in_8bit:
-            # Weight-only int8 (bitsandbytes load_in_8bit equivalent, reference
-            # src/models/_base.py:116-121): linear kernels + lm_head stored int8
-            # in HBM, upcast fused into the MXU matmul. Streamed host->device so
-            # the bf16 tree is never device-resident; precedes mesh sharding.
+        if self.load_in_8bit and not getattr(self, "_int8_applied", False):
             from lmms_owc_tpu.ops.quant import stream_quantize_to_device
 
             self.params = stream_quantize_to_device(self.params)
@@ -280,21 +280,50 @@ class Qwen2VL(Model):
             preset = dict(PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["qwen2-vl-2b"]))
             self.is_v25 = preset.get("model_type") == "qwen2_5_vl"
             self.config = qvl.Qwen2VLConfig.from_hf_dict(preset)
-            if self.is_v25:
+            if self.load_in_8bit:
+                # Random-init + int8 serving: generate every tensor ON DEVICE and
+                # quantize in place (ops.quant.init_quantized_on_device) — the
+                # full-precision tree never exists anywhere, and nothing crosses
+                # the host->device link (a 7B tree is ~16 GB bf16; tunneled
+                # links move ~20 MB/s).
+                from lmms_owc_tpu.ops.quant import init_quantized_on_device
+
+                if self.is_v25:
+                    self.vision25_config = qvl25.Qwen25VisionConfig.from_hf_dict(
+                        preset.get("vision_config", {})
+                    )
+                    spec = jax.eval_shape(
+                        lambda: qvl.init_decoder_params(
+                            jax.random.PRNGKey(0), self.config, dtype
+                        )
+                    )
+                    spec["vision"] = jax.eval_shape(
+                        lambda: qvl25.init_vision25_params(
+                            jax.random.PRNGKey(0), self.vision25_config, dtype
+                        )
+                    )
+                else:
+                    spec = jax.eval_shape(
+                        lambda: qvl.init_params(jax.random.PRNGKey(0), self.config, dtype)
+                    )
+                self.params = init_quantized_on_device(
+                    spec, self.jax_random_seed, dtype=dtype
+                )
+                self._int8_applied = True
+                log.info("random-init int8 weights generated on device")
+            elif self.is_v25:
                 self.vision25_config = qvl25.Qwen25VisionConfig.from_hf_dict(
                     preset.get("vision_config", {})
                 )
                 self.params = qvl.init_decoder_params(
-                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype,
-                    host_rng=self.load_in_8bit,
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
                 )
                 self.params["vision"] = qvl25.init_vision25_params(
                     jax.random.PRNGKey(self.jax_random_seed + 1), self.vision25_config, dtype
                 )
             else:
                 self.params = qvl.init_params(
-                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype,
-                    host_rng=self.load_in_8bit,
+                    jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
                 )
             self.tokenizer = _FallbackTokenizer()
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 __all__ = [
     "dense_out_dim",
     "dequantize_int8",
+    "init_quantized_on_device",
     "quantize_int8",
     "quantize_params_int8",
     "stream_quantize_to_device",
@@ -96,23 +97,39 @@ def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXC
     for checkpoints too large to round-trip through full precision on device.
 
     ``tree`` leaves must live on host (numpy or committed-CPU jax arrays):
-    build them under ``jax.default_device(cpu)``.
+    build them under ``jax.default_device(cpu)``. The input tree is CONSUMED:
+    quantized full-precision kernels are dropped from it as they stream so host
+    memory tracks the remaining work, not the whole tree.
+
+    Quantization itself runs on the HOST CPU backend and only the int8 payload
+    (plus f32 scales) crosses the host->device link — on tunneled/remote
+    accelerators the link is the bottleneck, and shipping bf16 to quantize
+    on-device would double the transferred bytes.
     """
+    import numpy as np
+
     device = jax.devices()[0]
-    quantize = jax.jit(quantize_int8, donate_argnums=0)
+    cpu = jax.local_devices(backend="cpu")[0]
+
+    def quantize_host_slice(w_slice) -> tuple:
+        with jax.default_device(cpu):
+            out = quantize_int8(w_slice)
+            return np.asarray(out["q"]), np.asarray(out["scale"])
 
     def to_device(leaf):
         return jax.device_put(leaf, device)
 
     def quantize_streamed(w) -> dict:
+        # Quantize per layer slice on host, assemble the int8 stack with numpy,
+        # and upload each tensor ONCE: per-slice device_puts + an on-device
+        # stack would hold 2x the int8 bytes in client transfer buffers on
+        # deferred-execution (tunneled) backends.
         if w.ndim == 3 and w.shape[0] > 1:
-            qs, scales = [], []
-            for i in range(w.shape[0]):
-                out = quantize(to_device(w[i]))
-                qs.append(out["q"])
-                scales.append(out["scale"])
-            return {"q": jnp.stack(qs), "scale": jnp.stack(scales)}
-        return quantize(to_device(w))
+            qs, scales = zip(*(quantize_host_slice(w[i]) for i in range(w.shape[0])))
+            q, scale = np.stack(qs), np.stack(scales)
+        else:
+            q, scale = quantize_host_slice(w)
+        return {"q": to_device(q), "scale": to_device(scale)}
 
     def walk(node, key: str | None):
         if isinstance(node, dict):
@@ -120,8 +137,72 @@ def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXC
             if key not in exclude and w is not None and getattr(w, "ndim", 0) >= 2:
                 out = {k: to_device(v) for k, v in node.items() if k != "w"}
                 out["w_q8"] = quantize_streamed(w)
+                node.pop("w", None)  # free the host full-precision tensor eagerly
                 return out
             return {k: walk(v, k) for k, v in node.items()}
         return to_device(node)
 
     return walk(tree, None)
+
+
+def init_quantized_on_device(
+    spec_tree, seed: int, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, dtype=jnp.bfloat16
+) -> dict:
+    """Random-init a param tree DIRECTLY on the accelerator with eligible kernels int8.
+
+    For random-init benchmarking of checkpoints too large to round-trip through
+    host memory or a narrow host->device link (a 7B tree is ~16 GB bf16; tunneled
+    links move ~20 MB/s), nothing needs to leave the device at all: every tensor
+    is generated by on-device RNG and quantized in place. ``spec_tree`` is a
+    ``jax.eval_shape`` pytree of the init function (shapes/dtypes only). Values
+    follow the standard init convention by leaf name: ``b``/``bias`` -> zeros,
+    ``scale`` -> ones, everything else -> normal * 0.02.
+
+    Stacked kernels generate + quantize one layer slice at a time (donated into
+    the jitted program), bounding the full-precision transient to a single slice.
+    """
+    import functools
+
+    counter = [0]
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def gen_normal(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    @functools.partial(jax.jit, static_argnames=("shape",))
+    def gen_quantized(key, shape):
+        return quantize_int8((jax.random.normal(key, shape) * 0.02).astype(dtype))
+
+    def next_key():
+        counter[0] += 1
+        return jax.random.PRNGKey(seed + counter[0])
+
+    def make_leaf(key_name: str, leaf):
+        shape, leaf_dtype = tuple(leaf.shape), leaf.dtype
+        if key_name in ("b", "bias"):
+            return jnp.zeros(shape, leaf_dtype)
+        if key_name == "scale":
+            return jnp.ones(shape, leaf_dtype)
+        return gen_normal(next_key(), shape)
+
+    def quantize_leaf(leaf) -> dict:
+        shape = tuple(leaf.shape)
+        if len(shape) == 3 and shape[0] > 1:
+            outs = [gen_quantized(next_key(), shape[1:]) for _ in range(shape[0])]
+            return {
+                "q": jnp.stack([o["q"] for o in outs]),
+                "scale": jnp.stack([o["scale"] for o in outs]),
+            }
+        return gen_quantized(next_key(), shape)
+
+    def walk(node, key: str | None):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if key not in exclude and w is not None and len(w.shape) >= 2:
+                out = {k: make_leaf(k, v) for k, v in node.items() if k != "w"}
+                out["w_q8"] = quantize_leaf(w)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return make_leaf(key or "", node)
+
+    return walk(spec_tree, None)
