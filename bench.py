@@ -7,7 +7,7 @@ vision budget. Weights are random-init (no checkpoints in this environment); the
 compute is identical to a real checkpoint.
 
 The default preset is the FLAGSHIP **Qwen2-VL-7B** (BASELINE.json rebuild target)
-served weight-only int8 (the 16 GB v5e fit; ops/quant.py), batch 32. Weights are
+served weight-only int8 (the 16 GB v5e fit; ops/quant.py), batch 48. Weights are
 generated and quantized directly on device (init_quantized_on_device), so startup
 does not ship a 16 GB bf16 tree over the host->device link.
 
@@ -173,7 +173,7 @@ def main() -> None:
     from lmms_owc_tpu.models import get_model
 
     preset = os.environ.get("BENCH_PRESET", "qwen2-vl-7b")
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     # Multiple macro-batches: real eval tasks run thousands of images, so the
     # number to report is the pipelined steady state (uploads and host prep
     # hidden behind decode), not the first-chunk fill.
@@ -228,9 +228,18 @@ def main() -> None:
     model.generate_until(warm)
 
     requests = [_Req(i) for i in range(num_images)]
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     outputs = model.generate_until(requests)
     elapsed = time.perf_counter() - t0
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
 
     assert len(outputs) == num_images
     images_per_sec = num_images / elapsed

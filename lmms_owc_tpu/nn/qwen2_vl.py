@@ -648,8 +648,16 @@ def _head_logits(params: dict, x: jax.Array) -> jax.Array:
     if "lm_head" in params:
         head = params["lm_head"]
         if "w_q8" in head:
+            # bf16-multiply/f32-accumulate: an f32 dot here would run the MXU at
+            # 1/8 rate AND widen the s8 vocab matrix read. The s8->bf16 convert
+            # fuses into the matmul; the channel scale applies to the output.
             qp = head["w_q8"]
-            return jnp.dot(x.astype(jnp.float32), qp["q"].astype(jnp.float32)) * qp["scale"]
+            logits = jnp.dot(
+                x.astype(jnp.bfloat16),
+                qp["q"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            return logits * qp["scale"]
         w = head["w"]
     else:
         w = params["embed_tokens"].T
@@ -738,7 +746,7 @@ def prefill(
     return logits, (cache_k, cache_v)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config",), donate_argnums=(3,))
 def decode_step(
     params: dict,
     token_ids: jax.Array,
@@ -748,23 +756,55 @@ def decode_step(
     kv_mask: jax.Array,
     config: Qwen2VLConfig,
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
-    """One decode step: token_ids [B], position_ids [3, B, 1] -> logits [B, vocab]."""
+    """One decode step: token_ids [B], position_ids [3, B, 1] -> logits [B, vocab].
+
+    Layers run under ``fori_loop`` with POINT-WRITES into the stacked cache
+    ([num_layers, B, Hkv, S, D] carry), not ``lax.scan``: scan stacks fresh
+    cache output buffers every step and the decode while-loop carry then
+    copies them back — two full-cache copies (~1.9 ms each for 7B at B=48,
+    measured) per generated token. The fori carry keeps ONE cache buffer
+    alive and XLA updates it in place.
+    """
     x = embedding(params["embed_tokens"], token_ids)[:, None, :]
     cos, sin = mrope_cos_sin(position_ids, config)
 
     cache_k, cache_v = cache
+    layers = params["layers"]
+    b = x.shape[0]
+    nh, kvh, hd = config.num_heads, config.num_kv_heads, config.head_dim
+    zero = jnp.zeros((), jnp.int32)
 
-    def layer_fn(x, layer_and_cache):
-        layer, ck, cv = layer_and_cache
-        attn_out, (ck, cv) = _attention_block(
-            layer, rms_norm(layer["input_ln"], x, config.rms_norm_eps), cos, sin, config,
-            kv_mask=kv_mask, causal=False, cache=(ck, cv), cache_pos=cache_pos,
+    def layer_fn(i, carry):
+        x, ck_all, cv_all = carry
+        layer = jax.tree_util.tree_map(
+            lambda p: jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False), layers
         )
-        x = x + attn_out
-        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
-        return x, (ck, cv)
+        h = rms_norm(layer["input_ln"], x, config.rms_norm_eps)
+        q = dense(layer["attn"]["q"], h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+        k = dense(layer["attn"]["k"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+        v = dense(layer["attn"]["v"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
 
-    x, (cache_k, cache_v) = jax.lax.scan(layer_fn, x, (params["layers"], cache_k, cache_v))
+        # Write just the new token's K/V into the stacked cache (in place).
+        ck_all = jax.lax.dynamic_update_slice(
+            ck_all, k[None].astype(ck_all.dtype), (i, zero, zero, cache_pos, zero)
+        )
+        cv_all = jax.lax.dynamic_update_slice(
+            cv_all, v[None].astype(cv_all.dtype), (i, zero, zero, cache_pos, zero)
+        )
+        ck = jax.lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
+        # GQA form: reads the cache once instead of materializing nh/kvh copies.
+        out = gqa_attention_reference(q, ck, cv, kv_mask=kv_mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+        x = x + dense(layer["attn"]["o"], out)
+        x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
+        return x, ck_all, cv_all
+
+    x, cache_k, cache_v = jax.lax.fori_loop(
+        0, config.num_layers, layer_fn, (x, cache_k, cache_v)
+    )
     x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
     logits = _head_logits(params, x[:, 0])
     return logits, (cache_k, cache_v)

@@ -202,6 +202,10 @@ class SentenceEncoder:
 
     def encode(self, sentences: list[str], batch_size: int = 1024) -> np.ndarray:
         out = np.zeros((len(sentences), self.config.hidden_size), dtype=np.float32)
+        # Dispatch every batch first, fetch afterwards: host tokenization of
+        # batch N+1 then overlaps the device encode of batch N (fetching inside
+        # the loop would serialize host and device work each iteration).
+        pending: list[tuple[int, int, object]] = []
         for start in range(0, len(sentences), batch_size):
             chunk = sentences[start : start + batch_size]
             enc = self.tokenizer(
@@ -216,7 +220,9 @@ class SentenceEncoder:
             ids = np.pad(ids, ((0, bbatch - ids.shape[0]), (0, blen - ids.shape[1])))
             mask = np.pad(mask, ((0, bbatch - mask.shape[0]), (0, blen - mask.shape[1])))
             embeds = sbert_encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.config)
-            out[start : start + len(chunk)] = np.asarray(embeds)[: len(chunk)]
+            pending.append((start, len(chunk), embeds))
+        for start, n, embeds in pending:
+            out[start : start + n] = np.asarray(embeds)[:n]
         return out
 
 
@@ -225,18 +231,24 @@ class _WhitespaceTokenizer:
 
     def __init__(self, vocab_size: int) -> None:
         self.vocab_size = vocab_size
+        self._word_ids: dict[str, int] = {}
+
+    def _word_id(self, token: str) -> int:
+        cached = self._word_ids.get(token)
+        if cached is None:
+            import hashlib
+
+            cached = 2000 + int.from_bytes(
+                hashlib.md5(token.encode()).digest()[:3], "little"
+            ) % (self.vocab_size - 3000)
+            self._word_ids[token] = cached
+        return cached
 
     def __call__(self, texts, padding=True, truncation=True, max_length=512, return_tensors="np"):
-        import hashlib
-
         all_ids = []
         for text in texts:
             toks = text.lower().split()[: max_length - 2]
-            ids = [101] + [
-                2000 + int.from_bytes(hashlib.md5(t.encode()).digest()[:3], "little")
-                % (self.vocab_size - 3000)
-                for t in toks
-            ] + [102]
+            ids = [101] + [self._word_id(t) for t in toks] + [102]
             all_ids.append(ids)
         max_len = max(len(i) for i in all_ids)
         input_ids = np.zeros((len(all_ids), max_len), dtype=np.int32)
