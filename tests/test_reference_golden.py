@@ -181,3 +181,73 @@ class TestEloGolden:
             ratings_ours[a], ratings_ours[b] = oa, ob
         for m in "ABCD":
             assert ratings_ours[m] == pytest.approx(ratings_ref[m], abs=1e-9)
+
+
+class TestEvalMetricsCLIGolden:
+    """Run the REFERENCE's eval_metrics.py and OURS as subprocesses on identical
+    samples and assert identical printed metric values (VERDICT item 10)."""
+
+    @pytest.fixture()
+    def samples_tree(self, tmp_path):
+        import json
+
+        rng = random.Random(5)
+        words = ["dog", "cat", "a red car", "sunflower", "FOOD", "jet plane"]
+        docs = []
+        for i in range(40):
+            target = rng.choice(words)
+            resp = (
+                f"this is {target}" if rng.random() < 0.5 else rng.choice(words)
+            )
+            docs.append(
+                {"doc_id": i, "target": target, "filtered_resps": [resp]}
+            )
+        d = tmp_path / "logs" / "schedule" / "toytask" / "modelA"
+        d.mkdir(parents=True)
+        with open(d / "2026-01-01T00-00-00.0_samples_toytask.jsonl", "w") as f:
+            for doc in docs:
+                f.write(json.dumps(doc) + "\n")
+        return tmp_path
+
+    def _metric_lines(self, stdout: str) -> dict:
+        out = {}
+        for line in stdout.splitlines():
+            if ":" in line and not line.endswith(":") and "on " not in line:
+                name, _, value = line.rpartition(":")
+                try:
+                    out[name.strip()] = float(value)
+                except ValueError:
+                    continue
+        return out
+
+    def test_textual_inclusion_identical(self, samples_tree):
+        import os
+        import subprocess
+        import sys
+
+        # Relative glob: the reference resolves patterns against its cwd and
+        # rejects absolute ones (Path().glob).
+        glob_arg = "logs/schedule/**/*"
+        shims = str(Path(__file__).parent / "fixtures" / "ref_shims")
+
+        env_ref = dict(os.environ)
+        env_ref["PYTHONPATH"] = f"{shims}:{REFERENCE}"
+        ref = subprocess.run(
+            [sys.executable, str(REFERENCE / "eval_metrics.py"),
+             "-i", glob_arg, "-m", "textual_inclusion"],
+            capture_output=True, text=True, env=env_ref, cwd=str(samples_tree),
+            timeout=300,
+        )
+        assert ref.returncode == 0, ref.stderr[-2000:]
+
+        ours = subprocess.run(
+            [sys.executable, str(Path(__file__).parent.parent / "eval_metrics.py"),
+             "-i", glob_arg, "-m", "textual_inclusion"],
+            capture_output=True, text=True, cwd=str(samples_tree), timeout=300,
+        )
+        assert ours.returncode == 0, ours.stderr[-2000:]
+
+        ref_vals = self._metric_lines(ref.stdout)
+        our_vals = self._metric_lines(ours.stdout)
+        assert ref_vals, f"no metric lines parsed from reference stdout:\n{ref.stdout}"
+        assert our_vals == ref_vals
