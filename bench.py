@@ -191,8 +191,11 @@ def main() -> None:
         random_init=True,
         dtype="bfloat16",
         # int8 weight-only serving (halves weight HBM reads); REQUIRED for the
-        # 7B flagship on a 16 GB v5e. BENCH_INT8=0 opts out for small presets.
-        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "1"))),
+        # 7B flagship on a 16 GB v5e. BENCH_INT8=0 opts out for small presets;
+        # BENCH_INT4=1 selects 4-bit groupwise weights instead.
+        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "1")))
+        and not bool(int(os.environ.get("BENCH_INT4", "0"))),
+        load_in_4bit=bool(int(os.environ.get("BENCH_INT4", "0"))),
     )
 
     rng = np.random.RandomState(0)

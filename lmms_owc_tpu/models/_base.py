@@ -88,6 +88,7 @@ class Model(abc.ABC):
         use_cache: str | None = None,
         mesh_shape: dict | None = None,
         load_in_8bit: bool = False,
+        load_in_4bit: bool = False,
         **kwargs,
     ) -> None:
         self.model_id = model_id
@@ -95,17 +96,27 @@ class Model(abc.ABC):
         self.dtype = dtype
         self.device = device
         self.mesh_shape = mesh_shape
-        # Weight-only int8 (bitsandbytes load_in_8bit equivalent; ops.quant).
+        # Weight-only int8/int4 (bitsandbytes load_in_8bit/load_in_4bit
+        # equivalents, reference src/models/_base.py:116-121; ops.quant).
         # Adapters that need quantization earlier (e.g. before mesh sharding)
         # handle it inside load_model and set ``_int8_applied``.
         self.load_in_8bit = bool(getattr(self, "load_in_8bit", False)) or bool(load_in_8bit)
+        self.load_in_4bit = bool(getattr(self, "load_in_4bit", False)) or bool(load_in_4bit)
+        if self.load_in_8bit and self.load_in_4bit:
+            raise ValueError("load_in_8bit and load_in_4bit are mutually exclusive")
         self._extra_kwargs = kwargs
         self.cache_hook = CacheHook(use_cache)
         self.task_dict: dict = {}
 
         self.load_model()
 
-        if self.load_in_8bit and not getattr(self, "_int8_applied", False):
+        if self.load_in_4bit and not getattr(self, "_int8_applied", False):
+            from lmms_owc_tpu.ops.quant import quantize_params_int4
+
+            self.params = quantize_params_int4(self.params)
+            self._int8_applied = True
+            log.info("quantized linear weights to int4 (weight-only, groupwise)")
+        elif self.load_in_8bit and not getattr(self, "_int8_applied", False):
             from lmms_owc_tpu.ops.quant import quantize_params_int8
 
             self.params = quantize_params_int8(self.params)

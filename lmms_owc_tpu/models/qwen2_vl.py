@@ -280,12 +280,12 @@ class Qwen2VL(Model):
             preset = dict(PRESET_CONFIGS.get(self.preset, PRESET_CONFIGS["qwen2-vl-2b"]))
             self.is_v25 = preset.get("model_type") == "qwen2_5_vl"
             self.config = qvl.Qwen2VLConfig.from_hf_dict(preset)
-            if self.load_in_8bit:
-                # Random-init + int8 serving: generate every tensor ON DEVICE and
-                # quantize in place (ops.quant.init_quantized_on_device) — the
-                # full-precision tree never exists anywhere, and nothing crosses
-                # the host->device link (a 7B tree is ~16 GB bf16; tunneled
-                # links move ~20 MB/s).
+            if self.load_in_8bit or self.load_in_4bit:
+                # Random-init + int8/int4 serving: generate every tensor ON
+                # DEVICE and quantize in place (ops.quant.init_quantized_on_device)
+                # — the full-precision tree never exists anywhere, and nothing
+                # crosses the host->device link (a 7B tree is ~16 GB bf16;
+                # tunneled links move ~20 MB/s).
                 from lmms_owc_tpu.ops.quant import init_quantized_on_device
 
                 if self.is_v25:
@@ -306,11 +306,12 @@ class Qwen2VL(Model):
                     spec = jax.eval_shape(
                         lambda: qvl.init_params(jax.random.PRNGKey(0), self.config, dtype)
                     )
+                bits = 4 if self.load_in_4bit else 8
                 self.params = init_quantized_on_device(
-                    spec, self.jax_random_seed, dtype=dtype
+                    spec, self.jax_random_seed, dtype=dtype, bits=bits
                 )
                 self._int8_applied = True
-                log.info("random-init int8 weights generated on device")
+                log.info("random-init int%d weights generated on device", bits)
             elif self.is_v25:
                 self.vision25_config = qvl25.Qwen25VisionConfig.from_hf_dict(
                     preset.get("vision_config", {})

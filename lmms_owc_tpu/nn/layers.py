@@ -30,9 +30,12 @@ __all__ = [
 def dense(params: dict, x: jax.Array) -> jax.Array:
     """x @ w (+ b). params: {"w": [in, out], optional "b": [out]}.
 
-    Also accepts weight-only int8 params ({"w_q8": {"q", "scale"}}, see
-    lmms_owc_tpu.ops.quant): the int8 kernel stays int8 in HBM, XLA fuses the
-    upcast into the matmul, and the per-output-channel scale applies after.
+    Also accepts weight-only quantized params (lmms_owc_tpu.ops.quant):
+    - {"w_q8": {"q", "scale"}}: the int8 kernel stays int8 in HBM, XLA fuses the
+      upcast into the matmul, and the per-output-channel scale applies after.
+    - {"w_q4": {"q4", "scale"}}: 4-bit packed with per-(group, channel) scales;
+      the contraction splits into groups so each group's scale applies to its
+      partial product (scale varies along the contraction, unlike int8).
     """
     if "w_q8" in params:
         qp = params["w_q8"]
@@ -40,6 +43,24 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
             "...i,io->...o", x, qp["q"].astype(x.dtype), preferred_element_type=x.dtype
         )
         out = out * qp["scale"].astype(x.dtype)
+    elif "w_q4" in params:
+        from lmms_owc_tpu.ops.quant import unpack_int4
+
+        qp = params["w_q4"]
+        w_int = unpack_int4(qp)  # [in, out] int8 in [-7, 7]
+        d_in, d_out = w_int.shape[-2:]
+        n_groups = qp["scale"].shape[-2]
+        # Dequantize into the dot operand: unpack -> groupwise scale -> single
+        # matmul. XLA fuses the elementwise chain into the dot's operand on TPU
+        # (multiply+dot fusions), so the kernel stays 4-bit in HBM; worst case
+        # the dequantized weight is a one-tensor transient. (A grouped einsum
+        # formulation would materialize a [tokens, groups, out] partial —
+        # catastrophic at prefill shapes.)
+        w = (
+            w_int.reshape(n_groups, d_in // n_groups, d_out).astype(x.dtype)
+            * qp["scale"][..., None, :].astype(x.dtype)
+        ).reshape(d_in, d_out)
+        out = jnp.einsum("...i,io->...o", x, w, preferred_element_type=x.dtype)
     else:
         out = jnp.einsum(
             "...i,io->...o", x, params["w"], preferred_element_type=x.dtype

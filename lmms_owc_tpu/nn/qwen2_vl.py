@@ -650,6 +650,8 @@ def _head_logits(params: dict, x: jax.Array) -> jax.Array:
     """
     if "lm_head" in params:
         head = params["lm_head"]
+        if "w_q4" in head:
+            return dense(head, x.astype(jnp.bfloat16)).astype(jnp.float32)
         if "w_q8" in head:
             # bf16-multiply/f32-accumulate: an f32 dot here would run the MXU at
             # 1/8 rate AND widen the s8 vocab matrix read. The s8->bf16 convert

@@ -21,11 +21,15 @@ import jax.numpy as jnp
 
 __all__ = [
     "dense_out_dim",
+    "dequantize_int4",
     "dequantize_int8",
     "init_quantized_on_device",
+    "quantize_int4",
     "quantize_int8",
+    "quantize_params_int4",
     "quantize_params_int8",
     "stream_quantize_to_device",
+    "unpack_int4",
 ]
 
 # Parent-key names whose "w" must stay full-precision: patch embeddings and the
@@ -54,7 +58,11 @@ def dequantize_int8(qp: dict, dtype=jnp.float32) -> jax.Array:
 
 def dense_out_dim(params: dict) -> int:
     """Output feature count of a dense param dict, quantized or not."""
-    return int((params["w"] if "w" in params else params["w_q8"]["q"]).shape[-1])
+    if "w" in params:
+        return int(params["w"].shape[-1])
+    if "w_q8" in params:
+        return int(params["w_q8"]["q"].shape[-1])
+    return int(params["w_q4"]["q4"].shape[-1])
 
 
 def quantize_params_int8(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
@@ -146,9 +154,10 @@ def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXC
 
 
 def init_quantized_on_device(
-    spec_tree, seed: int, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, dtype=jnp.bfloat16
+    spec_tree, seed: int, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, dtype=jnp.bfloat16,
+    bits: int = 8,
 ) -> dict:
-    """Random-init a param tree DIRECTLY on the accelerator with eligible kernels int8.
+    """Random-init a param tree DIRECTLY on the accelerator, kernels int8 or int4.
 
     For random-init benchmarking of checkpoints too large to round-trip through
     host memory or a narrow host->device link (a 7B tree is ~16 GB bf16; tunneled
@@ -169,9 +178,12 @@ def init_quantized_on_device(
     def gen_normal(key, shape):
         return (jax.random.normal(key, shape) * 0.02).astype(dtype)
 
+    quantize = quantize_int8 if bits == 8 else quantize_int4
+    q_key, s_key = ("q", "scale") if bits == 8 else ("q4", "scale")
+
     @functools.partial(jax.jit, static_argnames=("shape",))
     def gen_quantized(key, shape):
-        return quantize_int8((jax.random.normal(key, shape) * 0.02).astype(dtype))
+        return quantize((jax.random.normal(key, shape) * 0.02).astype(dtype))
 
     def next_key():
         counter[0] += 1
@@ -190,19 +202,91 @@ def init_quantized_on_device(
         if len(shape) == 3 and shape[0] > 1:
             outs = [gen_quantized(next_key(), shape[1:]) for _ in range(shape[0])]
             return {
-                "q": jnp.stack([o["q"] for o in outs]),
-                "scale": jnp.stack([o["scale"] for o in outs]),
+                q_key: jnp.stack([o[q_key] for o in outs]),
+                s_key: jnp.stack([o[s_key] for o in outs]),
             }
         return gen_quantized(next_key(), shape)
 
     def walk(node, key: str | None):
         if isinstance(node, dict):
             w = node.get("w")
-            if key not in exclude and w is not None and len(w.shape) >= 2:
+            eligible = key not in exclude and w is not None and len(w.shape) >= 2
+            if eligible and bits == 4 and w.shape[-2] % 2:
+                eligible = False  # int4 packs pairs along the contraction axis
+            if eligible:
                 out = {k: make_leaf(k, v) for k, v in node.items() if k != "w"}
-                out["w_q8"] = quantize_leaf(w)
+                out["w_q8" if bits == 8 else "w_q4"] = quantize_leaf(w)
                 return out
             return {k: walk(v, k) for k, v in node.items()}
         return make_leaf(key or "", node)
 
     return walk(spec_tree, None)
+
+
+# ------------------------------------------------------------------------ int4
+
+
+def quantize_int4(w: jax.Array, group: int = 128) -> dict:
+    """[..., in, out] weight -> 4-bit groupwise form (bitsandbytes load_in_4bit
+    equivalent; reference src/models/_base.py:116-121).
+
+    Returns {"q4": int8 [..., in/2, out] (two 4-bit values per byte, rows 2i in
+    the low nibble, 2i+1 in the high nibble), "scale": f32 [..., in/group, out]}.
+    The group size is implied by the shapes (``in / scale.shape[-2]``), keeping
+    the tree pure-array for jit. Symmetric quantization to [-7, 7] with a
+    per-(group, out channel) scale over the contraction axis — 4-bit needs
+    groupwise scales for acceptable error, unlike the per-channel int8 path.
+    """
+    *lead, d_in, d_out = w.shape
+    if d_in % group:
+        group = d_in  # tiny dims (tests): one group
+    wf = w.astype(jnp.float32).reshape(*lead, d_in // group, group, d_out)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(jnp.int8)
+    q = q.reshape(*lead, d_in, d_out)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 0xF)).astype(jnp.int8)
+    return {"q4": packed, "scale": scale}
+
+
+def unpack_int4(qp: dict) -> jax.Array:
+    """Packed int4 -> int8 values [-7, 7] with original [..., in, out] shape."""
+    packed = qp["q4"]
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign restored
+    hi = jnp.right_shift(packed, 4)
+    *lead, half, d_out = packed.shape
+    return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * half, d_out)
+
+
+def dequantize_int4(qp: dict, dtype=jnp.float32) -> jax.Array:
+    """Materialize the full-precision weight (debug/interop path)."""
+    q = unpack_int4(qp).astype(jnp.float32)
+    *lead, d_in, d_out = q.shape
+    n_groups = qp["scale"].shape[-2]
+    grouped = q.reshape(*lead, n_groups, d_in // n_groups, d_out)
+    return (grouped * qp["scale"][..., None, :]).reshape(*lead, d_in, d_out).astype(dtype)
+
+
+def quantize_params_int4(
+    tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, group: int = 128
+) -> dict:
+    """Recursively replace every dense ``{"w": ...}`` leaf-dict with int4 form."""
+
+    def walk(node, key: str | None):
+        if isinstance(node, dict):
+            w = node.get("w")
+            if (
+                key not in exclude
+                and w is not None
+                and hasattr(w, "ndim")
+                and w.ndim >= 2
+                and w.shape[-2] % 2 == 0
+            ):
+                out = {k: v for k, v in node.items() if k != "w"}
+                out["w_q4"] = quantize_int4(w, group)
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        return node
+
+    return walk(tree, None)

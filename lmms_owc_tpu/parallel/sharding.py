@@ -57,9 +57,18 @@ def _spec_for_path(path: str, rules: list[tuple[str, P]]) -> P:
     scale = False
     if path.endswith("w_q8/q"):
         path = path[: -len("w_q8/q")] + "w"
+    elif path.endswith("w_q4/q4"):
+        # int4 packs pairs along the contraction axis; the out axis (and any
+        # leading stack axis) keeps the full-precision "w" sharding.
+        path = path[: -len("w_q4/q4")] + "w"
     elif path.endswith("w_q8/scale"):
         path = path[: -len("w_q8/scale")] + "w"
         scale = True
+    elif path.endswith("w_q4/scale"):
+        # Groupwise scale [..., groups, out]: same rank as "w" (groups stand in
+        # for the contraction axis), so the "w" spec applies directly — but the
+        # groups axis must never carry the "model" axis of a row-parallel split.
+        path = path[: -len("w_q4/scale")] + "w"
     for pattern, spec in rules:
         if re.search(pattern, path):
             if scale:

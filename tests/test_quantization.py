@@ -209,3 +209,99 @@ class TestStreamQuantize:
         )
         assert model._int8_applied
         assert "w_q8" in model.params["layers"]["mlp"]["down"]
+
+
+class TestInt4:
+    """Weight-only int4 (bitsandbytes load_in_4bit equivalent, groupwise scales)."""
+
+    def test_pack_unpack_roundtrip(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.ops.quant import quantize_int4, unpack_int4
+
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(256, 32), jnp.float32)
+        qp = quantize_int4(w, group=128)
+        assert qp["q4"].shape == (128, 32) and qp["q4"].dtype == jnp.int8
+        assert qp["scale"].shape == (2, 32)
+        vals = np.asarray(unpack_int4(qp))
+        assert vals.shape == (256, 32)
+        assert vals.min() >= -7 and vals.max() <= 7
+
+    def test_dequant_error_bound(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        rng = np.random.RandomState(1)
+        w = jnp.asarray(rng.randn(256, 64), jnp.float32)
+        back = np.asarray(dequantize_int4(quantize_int4(w, group=64)))
+        # 4-bit symmetric: |err| <= scale/2 = max|group|/14 per (group, channel)
+        grouped = np.asarray(w).reshape(4, 64, 64)
+        bound = np.abs(grouped).max(axis=1, keepdims=True) / 14.0 + 1e-6
+        assert (np.abs(grouped - back.reshape(4, 64, 64)) <= bound).all()
+
+    def test_dense_matches_dequantized(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.nn.layers import dense
+        from lmms_owc_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        rng = np.random.RandomState(2)
+        w = jnp.asarray(rng.randn(256, 48), jnp.float32)
+        x = jnp.asarray(rng.randn(5, 256), jnp.float32)
+        qp = quantize_int4(w, group=128)
+        got = np.asarray(dense({"w_q4": qp}, x))
+        want = np.asarray(x @ dequantize_int4(qp))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_stacked_layers(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        rng = np.random.RandomState(3)
+        w = jnp.asarray(rng.randn(3, 256, 16), jnp.float32)
+        qp = quantize_int4(w, group=128)
+        assert qp["q4"].shape == (3, 128, 16)
+        assert qp["scale"].shape == (3, 2, 16)
+        back = np.asarray(dequantize_int4(qp))
+        assert back.shape == (3, 256, 16)
+
+    def test_adapter_load_in_4bit_generates(self, toy_task_path, toy_dataset):
+        import numpy as np
+        from PIL import Image
+
+        from lmms_owc_tpu.models import get_model
+
+        model = get_model(
+            "qwen2-vl-tiny", batch_size=2, random_init=True, dtype="float32",
+            load_in_4bit=True,
+        )
+        assert model._int8_applied
+        assert "w_q4" in model.params["layers"]["mlp"]["down"]
+
+        class _Task:
+            dataset = {"test": [{"image": Image.fromarray(np.zeros((64, 64, 3), np.uint8))}]}
+
+        model.task_dict["b"] = _Task()
+
+        class _Req:
+            args = ("What is this?", {"max_new_tokens": 3, "do_sample": False, "until": None},
+                    lambda d: [d["image"]], 0, "b", "test")
+
+        out = model.generate_until([_Req()])
+        assert len(out) == 1 and isinstance(out[0], str)
+
+    def test_mutually_exclusive_flags(self):
+        import pytest as _pytest
+
+        from lmms_owc_tpu.models import get_model
+
+        with _pytest.raises(ValueError):
+            get_model("qwen2-vl-tiny", batch_size=1, random_init=True,
+                      dtype="float32", load_in_8bit=True, load_in_4bit=True)
