@@ -44,23 +44,40 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
         )
         out = out * qp["scale"].astype(x.dtype)
     elif "w_q4" in params:
+        from lmms_owc_tpu.ops.int4_matmul import int4_matmul, int4_matmul_supported
         from lmms_owc_tpu.ops.quant import unpack_int4
 
         qp = params["w_q4"]
-        w_int = unpack_int4(qp)  # [in, out] int8 in [-7, 7]
-        d_in, d_out = w_int.shape[-2:]
+        d_half, d_out = qp["q4"].shape[-2:]
+        d_in = 2 * d_half
         n_groups = qp["scale"].shape[-2]
-        # Dequantize into the dot operand: unpack -> groupwise scale -> single
-        # matmul. XLA fuses the elementwise chain into the dot's operand on TPU
-        # (multiply+dot fusions), so the kernel stays 4-bit in HBM; worst case
-        # the dequantized weight is a one-tensor transient. (A grouped einsum
-        # formulation would materialize a [tokens, groups, out] partial —
-        # catastrophic at prefill shapes.)
-        w = (
-            w_int.reshape(n_groups, d_in // n_groups, d_out).astype(x.dtype)
-            * qp["scale"][..., None, :].astype(x.dtype)
-        ).reshape(d_in, d_out)
-        out = jnp.einsum("...i,io->...o", x, w, preferred_element_type=x.dtype)
+        m_rows = 1
+        for dim in x.shape[:-1]:
+            m_rows *= dim
+        # The kernel wins in the decode/matvec regime (few rows: HBM-bound on
+        # weight reads, and a single M block unpacks each weight block once).
+        # At prefill/vision row counts the m-grid re-unpacks every weight block
+        # per 128-row block and loses to XLA's dequant-then-dot (A/B'd:
+        # kernel-everywhere 9.2 vs int8 14.1 img/s e2e).
+        if (
+            qp["q4"].ndim == 2
+            and m_rows <= 256
+            and int4_matmul_supported(d_in, d_out, n_groups)
+        ):
+            out = int4_matmul(x, qp["q4"], qp["scale"])
+        else:
+            # XLA fallback: dequantize into the dot operand (XLA cannot fuse
+            # the nibble-unpack chain, so the dequantized weight materializes
+            # as a one-tensor transient — correct, but not a bandwidth win).
+            # Never a grouped einsum: that materializes a [tokens, groups, out]
+            # partial, catastrophic at prefill shapes.
+            w_int = unpack_int4(qp)  # [in, out] int8 in [-7, 7]
+            w = (
+                w_int.reshape(*w_int.shape[:-2], n_groups, d_in // n_groups, d_out)
+                .astype(x.dtype)
+                * qp["scale"][..., None, :].astype(x.dtype)
+            ).reshape(*w_int.shape[:-2], d_in, d_out)
+            out = jnp.einsum("...i,io->...o", x, w, preferred_element_type=x.dtype)
     else:
         out = jnp.einsum(
             "...i,io->...o", x, params["w"], preferred_element_type=x.dtype

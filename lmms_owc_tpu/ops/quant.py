@@ -230,12 +230,15 @@ def quantize_int4(w: jax.Array, group: int = 128) -> dict:
     """[..., in, out] weight -> 4-bit groupwise form (bitsandbytes load_in_4bit
     equivalent; reference src/models/_base.py:116-121).
 
-    Returns {"q4": int8 [..., in/2, out] (two 4-bit values per byte, rows 2i in
-    the low nibble, 2i+1 in the high nibble), "scale": f32 [..., in/group, out]}.
-    The group size is implied by the shapes (``in / scale.shape[-2]``), keeping
-    the tree pure-array for jit. Symmetric quantization to [-7, 7] with a
-    per-(group, out channel) scale over the contraction axis — 4-bit needs
-    groupwise scales for acceptable error, unlike the per-channel int8 path.
+    Returns {"q4": int8 [..., in/2, out] (two 4-bit values per byte: contraction
+    row ``i`` in the low nibble, row ``i + in/2`` in the high nibble — a HALVES
+    layout, so unpacking is a contiguous concat instead of an interleave, which
+    both XLA and the Pallas matmul kernel handle without a shuffle),
+    "scale": f32 [..., in/group, out]}. The group size is implied by the shapes
+    (``in / scale.shape[-2]``), keeping the tree pure-array for jit. Symmetric
+    quantization to [-7, 7] with a per-(group, out channel) scale over the
+    contraction axis — 4-bit needs groupwise scales for acceptable error,
+    unlike the per-channel int8 path.
     """
     *lead, d_in, d_out = w.shape
     if d_in % group:
@@ -244,19 +247,23 @@ def quantize_int4(w: jax.Array, group: int = 128) -> dict:
     scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(jnp.int8)
     q = q.reshape(*lead, d_in, d_out)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    half = d_in // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
     packed = jnp.bitwise_or(jnp.left_shift(hi, 4), jnp.bitwise_and(lo, 0xF)).astype(jnp.int8)
     return {"q4": packed, "scale": scale}
 
 
 def unpack_int4(qp: dict) -> jax.Array:
-    """Packed int4 -> int8 values [-7, 7] with original [..., in, out] shape."""
+    """Packed int4 -> int8 values [-7, 7] with original [..., in, out] shape.
+
+    Halves layout: low nibbles are rows [0, in/2), high nibbles rows [in/2, in)
+    — a contiguous concat, no interleave.
+    """
     packed = qp["q4"]
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign restored
     hi = jnp.right_shift(packed, 4)
-    *lead, half, d_out = packed.shape
-    return jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * half, d_out)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def dequantize_int4(qp: dict, dtype=jnp.float32) -> jax.Array:

@@ -21,8 +21,10 @@ if not os.environ.get("LMMS_OWC_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
     from lmms_owc_tpu.ops.attention import set_use_pallas
+    from lmms_owc_tpu.ops.int4_matmul import set_use_pallas as set_int4_pallas
 
     set_use_pallas(False)
+    set_int4_pallas(False)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

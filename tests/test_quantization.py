@@ -305,3 +305,35 @@ class TestInt4:
         with _pytest.raises(ValueError):
             get_model("qwen2-vl-tiny", batch_size=1, random_init=True,
                       dtype="float32", load_in_8bit=True, load_in_4bit=True)
+
+
+class TestInt4Kernel:
+    """Pallas int4 matmul kernel (interpret mode on CPU; real on TPU)."""
+
+    @pytest.mark.parametrize("m", [5, 48, 300])
+    def test_matches_dequantized_reference(self, m):
+        from lmms_owc_tpu.ops.int4_matmul import int4_matmul
+        from lmms_owc_tpu.ops.quant import dequantize_int4, quantize_int4
+
+        rng = np.random.RandomState(0)
+        k_dim, n_dim = 1024, 512
+        w = jnp.asarray(rng.randn(k_dim, n_dim), jnp.float32)
+        qp = quantize_int4(w, group=128)
+        x = jnp.asarray(rng.randn(m, k_dim), jnp.bfloat16)
+        got = np.asarray(int4_matmul(x, qp["q4"], qp["scale"], interpret=True), np.float32)
+        want = np.asarray(x.astype(jnp.float32) @ dequantize_int4(qp))
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+        assert rel < 0.02  # bf16 dot operands vs f32 reference
+
+    def test_supported_contract(self):
+        from lmms_owc_tpu.ops.int4_matmul import int4_matmul_supported, set_use_pallas
+
+        set_use_pallas(True)
+        try:
+            assert int4_matmul_supported(3584, 18944, 28)   # 7B MLP gate/up
+            assert int4_matmul_supported(18944, 3584, 148)  # 7B MLP down
+            assert int4_matmul_supported(3584, 152064, 28)  # lm_head
+            assert not int4_matmul_supported(1280, 3840, 10)  # vision qkv: K/2 % 256 != 0
+            assert not int4_matmul_supported(3584, 18000, 28)  # N not block-divisible
+        finally:
+            set_use_pallas(False)
