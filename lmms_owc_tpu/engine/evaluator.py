@@ -201,6 +201,17 @@ def evaluate(
         for i, t in enumerate(known_types):
             if gathered_types.reshape(-1, len(known_types))[:, i].any():
                 requests[t]  # defaultdict: materialize the (possibly empty) list
+        # Canonicalize ITERATION ORDER too: insertion order differs across ranks
+        # when one rank first saw a type only via the union above, and the
+        # per-type _sync_processes barriers must fire in the same sequence
+        # everywhere. (A rank whose list is empty still dispatches zero model
+        # programs for that type — fine for this DP design, where model programs
+        # are host-local and only metric allgathers cross hosts; combining
+        # rank-sharded requests with a cross-host GLOBAL model mesh would
+        # additionally need synthetic requests on empty ranks.)
+        ordered = {t: requests[t] for t in known_types if t in requests}
+        requests.clear()
+        requests.update(ordered)
 
     phase_timings["build_requests"] = round(time.perf_counter() - _t_build, 3)
 

@@ -116,8 +116,14 @@ class WandbLogger:
         output_type = (config or {}).get("output_type", "generate_until")
         rows = []
         for sample in task_samples:
-            args = sample.get("arguments") or [["", ""]]
-            instance = str(args[0][0]) if args and len(args[0]) else ""
+            # The engine logs "arguments" as a FLAT list of the serializable arg
+            # values across the doc's requests (evaluator.py log_samples); the
+            # first string is the context. Per-request segmentation is only
+            # attempted when the flat list divides evenly by the request count.
+            args = sample.get("arguments") or []
+            n_req = len(sample.get("resps") or []) or 1
+            stride = len(args) // n_req if args and len(args) % n_req == 0 else 0
+            instance = str(args[0]) if args else ""
             row = {
                 "id": sample.get("doc_id"),
                 "data": instance,
@@ -128,7 +134,8 @@ class WandbLogger:
             resps = sample.get("resps") or []
             filtered = sample.get("filtered_resps") or []
             if output_type == "loglikelihood":
-                row["labels"] = str(args[0][1]) if args and len(args[0]) > 1 else row["labels"]
+                if stride > 1 and isinstance(args[1], str):
+                    row["labels"] = args[1]
                 if resps and resps[0]:
                     loss, greedy = resps[0][0][0], resps[0][0][1]
                     row["raw_predictions"] = (
@@ -140,9 +147,11 @@ class WandbLogger:
                         f"loss of continuation is {loss}; greedy match: {bool(greedy)}"
                     )
             elif output_type == "multiple_choice":
-                row["choices"] = "\n".join(
-                    f"{i}. {a[1]}" for i, a in enumerate(args) if len(a) > 1
-                )
+                if stride > 1:
+                    row["choices"] = "\n".join(
+                        f"{i}. {args[i * stride + 1]}" for i in range(n_req)
+                        if isinstance(args[i * stride + 1], str)
+                    )
                 # Responses hold losses: the selected choice is the argmin.
                 if resps:
                     losses = [r[0][0] for r in resps if r]

@@ -223,19 +223,20 @@ class Qwen2VL(Model):
         import contextlib
 
         checkpoint_exists = self.pretrained is not None and Path(self.pretrained).exists()
+        quant_bits = 4 if self.load_in_4bit else (8 if self.load_in_8bit else None)
         build_ctx = contextlib.nullcontext()
-        if self.load_in_8bit and checkpoint_exists:
+        if quant_bits is not None and checkpoint_exists:
             build_ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
 
         with build_ctx:
             self._build_params(dtype, qvl, qvl25)
 
-        if self.load_in_8bit and not getattr(self, "_int8_applied", False):
+        if quant_bits is not None and not getattr(self, "_int8_applied", False):
             from lmms_owc_tpu.ops.quant import stream_quantize_to_device
 
-            self.params = stream_quantize_to_device(self.params)
+            self.params = stream_quantize_to_device(self.params, bits=quant_bits)
             self._int8_applied = True
-            log.info("stream-quantized linear weights to int8 (weight-only)")
+            log.info("stream-quantized linear weights to int%d (weight-only)", quant_bits)
 
         self.mesh = None
         if self.use_mesh:

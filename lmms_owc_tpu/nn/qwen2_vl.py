@@ -763,6 +763,11 @@ def decode_step(
 ) -> tuple[jax.Array, tuple[jax.Array, jax.Array]]:
     """One decode step: token_ids [B], position_ids [3, B, 1] -> logits [B, vocab].
 
+    NOTE: the ``cache`` argument is DONATED — direct (non-inlined) callers must
+    not reuse the passed-in cache buffers after the call; use the returned
+    cache. (Inside :func:`greedy_generate` the call inlines and donation is
+    inert.)
+
     Layers run under ``fori_loop`` with POINT-WRITES into the stacked cache
     ([num_layers, B, Hkv, S, D] carry), not ``lax.scan``: scan stacks fresh
     cache output buffers every step and the decode while-loop carry then

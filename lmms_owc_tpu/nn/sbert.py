@@ -202,10 +202,11 @@ class SentenceEncoder:
 
     def encode(self, sentences: list[str], batch_size: int = 1024) -> np.ndarray:
         out = np.zeros((len(sentences), self.config.hidden_size), dtype=np.float32)
-        # Dispatch every batch first, fetch afterwards: host tokenization of
-        # batch N+1 then overlaps the device encode of batch N (fetching inside
-        # the loop would serialize host and device work each iteration).
-        pending: list[tuple[int, int, object]] = []
+        # Lag-one fetch: dispatch batch N, then fetch batch N-1 — host
+        # tokenization overlaps the device encode of the in-flight batch
+        # (fetching inline would serialize host and device work each iteration)
+        # while device memory stays bounded at two batches of embeddings.
+        pending: tuple[int, int, object] | None = None
         for start in range(0, len(sentences), batch_size):
             chunk = sentences[start : start + batch_size]
             enc = self.tokenizer(
@@ -220,9 +221,13 @@ class SentenceEncoder:
             ids = np.pad(ids, ((0, bbatch - ids.shape[0]), (0, blen - ids.shape[1])))
             mask = np.pad(mask, ((0, bbatch - mask.shape[0]), (0, blen - mask.shape[1])))
             embeds = sbert_encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.config)
-            pending.append((start, len(chunk), embeds))
-        for start, n, embeds in pending:
-            out[start : start + n] = np.asarray(embeds)[:n]
+            if pending is not None:
+                p_start, p_n, p_embeds = pending
+                out[p_start : p_start + p_n] = np.asarray(p_embeds)[:p_n]
+            pending = (start, len(chunk), embeds)
+        if pending is not None:
+            p_start, p_n, p_embeds = pending
+            out[p_start : p_start + p_n] = np.asarray(p_embeds)[:p_n]
         return out
 
 

@@ -43,16 +43,30 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def int4_matmul_supported(k: int, n: int, groups: int,
-                          block_k: int = 256, block_n: int = 512) -> bool:
-    """Whether the kernel's divisibility contract holds for these dims."""
+def pick_blocks(k: int, n: int, groups: int) -> tuple[int, int] | None:
+    """Largest (block_k, block_n) satisfying the kernel's divisibility contract.
+
+    block_k must divide K/2 and be a multiple of the scale group; block_n must
+    divide N and the 128-lane tile. Adaptive rather than fixed so presets whose
+    dims aren't 512-multiples (2B inter=8960, 3B inter=11008) stay on the
+    4-bit kernel path instead of silently falling back to XLA dequant.
+    """
+    if k % 2:
+        return None
     k2 = k // 2
-    if k % 2 or k2 % block_k or n % block_n:
-        return False
-    group = k // groups
-    if group == 0 or block_k % group:
-        return False
-    return _use_pallas()
+    group = k // groups if groups else 0
+    if group <= 0 or k2 % group:
+        return None
+    block_k = next((b for b in (512, 384, 256, 128) if k2 % b == 0 and b % group == 0), None)
+    block_n = next((b for b in (1024, 512, 256, 128) if n % b == 0), None)
+    if block_k is None or block_n is None:
+        return None
+    return block_k, block_n
+
+
+def int4_matmul_supported(k: int, n: int, groups: int) -> bool:
+    """Whether the kernel's divisibility contract holds for these dims."""
+    return pick_blocks(k, n, groups) is not None and _use_pallas()
 
 
 def _kernel(x_lo_ref, x_hi_ref, packed_ref, scale_ref,
@@ -139,7 +153,7 @@ def _int4_matmul_2d(x, packed, scale, block_m: int, block_k: int, block_n: int,
 
 
 def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
-                block_k: int = 256, block_n: int = 512,
+                block_k: int | None = None, block_n: int | None = None,
                 interpret: bool = False) -> jax.Array:
     """``x @ dequant(packed, scale)`` with the weight 4-bit end-to-end in HBM.
 
@@ -149,6 +163,13 @@ def int4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array,
     """
     lead = x.shape[:-1]
     k_dim = x.shape[-1]
+    if block_k is None or block_n is None:
+        blocks = pick_blocks(k_dim, packed.shape[-1], scale.shape[-2])
+        if blocks is None:
+            raise ValueError(
+                f"int4_matmul: unsupported dims K={k_dim} N={packed.shape[-1]}"
+            )
+        block_k, block_n = blocks
     m = 1
     for d in lead:
         m *= d

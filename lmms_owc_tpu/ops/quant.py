@@ -92,8 +92,10 @@ def quantize_params_int8(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE)
     return walk(tree, None)
 
 
-def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
-    """HOST-resident param tree -> accelerator tree with eligible kernels int8.
+def stream_quantize_to_device(
+    tree: dict, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, bits: int = 8
+) -> dict:
+    """HOST-resident param tree -> accelerator tree with eligible kernels int8/int4.
 
     Init-then-quantize keeps the full-precision tree and the int8 tree alive
     simultaneously (~1.5x model bytes at peak), which OOMs a 16 GB v5e for 7B
@@ -116,13 +118,19 @@ def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXC
     """
     import numpy as np
 
-    device = jax.devices()[0]
+    # local_devices: in a multihost run, jax.devices()[0] belongs to process 0
+    # and is not addressable from other processes.
+    device = jax.local_devices()[0]
     cpu = jax.local_devices(backend="cpu")[0]
+
+    quantize = quantize_int8 if bits == 8 else quantize_int4
+    q_key = "q" if bits == 8 else "q4"
+    quant_key = "w_q8" if bits == 8 else "w_q4"
 
     def quantize_host_slice(w_slice) -> tuple:
         with jax.default_device(cpu):
-            out = quantize_int8(w_slice)
-            return np.asarray(out["q"]), np.asarray(out["scale"])
+            out = quantize(w_slice)
+            return np.asarray(out[q_key]), np.asarray(out["scale"])
 
     def to_device(leaf):
         return jax.device_put(leaf, device)
@@ -137,14 +145,17 @@ def stream_quantize_to_device(tree: dict, exclude: tuple[str, ...] = DEFAULT_EXC
             q, scale = np.stack(qs), np.stack(scales)
         else:
             q, scale = quantize_host_slice(w)
-        return {"q": to_device(q), "scale": to_device(scale)}
+        return {q_key: to_device(q), "scale": to_device(scale)}
 
     def walk(node, key: str | None):
         if isinstance(node, dict):
             w = node.get("w")
-            if key not in exclude and w is not None and getattr(w, "ndim", 0) >= 2:
+            eligible = key not in exclude and w is not None and getattr(w, "ndim", 0) >= 2
+            if eligible and bits == 4 and w.shape[-2] % 2:
+                eligible = False  # int4 packs pairs along the contraction axis
+            if eligible:
                 out = {k: to_device(v) for k, v in node.items() if k != "w"}
-                out["w_q8"] = quantize_streamed(w)
+                out[quant_key] = quantize_streamed(w)
                 node.pop("w", None)  # free the host full-precision tensor eagerly
                 return out
             return {k: walk(v, k) for k, v in node.items()}

@@ -219,10 +219,11 @@ def test_wandb_logger_tables_and_group_samples(monkeypatch):
     t1_row = next(r for r in table.rows if r[0] == "t1")
     assert t1_row[-1] == "0.1000"
 
+    # "arguments" is the engine's FLAT serializable-args list (evaluator.py).
     sample = {
         "doc_id": 0,
         "target": "cat",
-        "arguments": [["What?", ""]],
+        "arguments": ["What?", {"max_new_tokens": 4}, 0, "t1", "test"],
         "resps": [["a cat"]],
         "filtered_resps": ["a cat"],
         "exact_match": 1.0,

@@ -333,7 +333,10 @@ class TestInt4Kernel:
             assert int4_matmul_supported(3584, 18944, 28)   # 7B MLP gate/up
             assert int4_matmul_supported(18944, 3584, 148)  # 7B MLP down
             assert int4_matmul_supported(3584, 152064, 28)  # lm_head
-            assert not int4_matmul_supported(1280, 3840, 10)  # vision qkv: K/2 % 256 != 0
-            assert not int4_matmul_supported(3584, 18000, 28)  # N not block-divisible
+            assert int4_matmul_supported(1536, 8960, 12)    # 2B gate/up (adaptive blocks)
+            assert int4_matmul_supported(8960, 1536, 70)    # 2B down
+            assert int4_matmul_supported(1280, 3840, 10)    # vision qkv
+            assert not int4_matmul_supported(3584, 18000, 28)  # N not 128-divisible
+            assert not int4_matmul_supported(3585, 512, 28)    # odd K
         finally:
             set_use_pallas(False)
