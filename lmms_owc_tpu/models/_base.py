@@ -108,20 +108,35 @@ class Model(abc.ABC):
         self.cache_hook = CacheHook(use_cache)
         self.task_dict: dict = {}
 
-        self.load_model()
+        quant_bits = 4 if self.load_in_4bit else (8 if self.load_in_8bit else None)
+        if quant_bits is not None and not getattr(self, "_handles_quantized_load", False):
+            # Memory-safe generic path: build the full-precision tree on HOST,
+            # then stream it to the accelerator with eligible kernels quantized
+            # (ops.quant.stream_quantize_to_device) — a 13B-class adapter would
+            # otherwise hold bf16 + intN trees on-device simultaneously.
+            # Adapters with their own loading strategy (e.g. on-device
+            # quantized init) set ``_handles_quantized_load``.
+            import jax
 
-        if self.load_in_4bit and not getattr(self, "_int8_applied", False):
-            from lmms_owc_tpu.ops.quant import quantize_params_int4
+            from lmms_owc_tpu.ops.quant import stream_quantize_to_device
 
-            self.params = quantize_params_int4(self.params)
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                self.load_model()
+            self.params = stream_quantize_to_device(self.params, bits=quant_bits)
             self._int8_applied = True
-            log.info("quantized linear weights to int4 (weight-only, groupwise)")
-        elif self.load_in_8bit and not getattr(self, "_int8_applied", False):
-            from lmms_owc_tpu.ops.quant import quantize_params_int8
+            log.info("stream-quantized linear weights to int%d (weight-only)", quant_bits)
+        else:
+            self.load_model()
 
-            self.params = quantize_params_int8(self.params)
+        if quant_bits is not None and not getattr(self, "_int8_applied", False):
+            # Fallback for adapters that declared _handles_quantized_load but
+            # took a path that skipped it (e.g. full-precision debug flags).
+            from lmms_owc_tpu.ops.quant import quantize_params_int4, quantize_params_int8
+
+            quantize = quantize_params_int8 if quant_bits == 8 else quantize_params_int4
+            self.params = quantize(self.params)
             self._int8_applied = True
-            log.info("quantized linear weights to int8 (weight-only)")
+            log.info("quantized linear weights to int%d (weight-only)", quant_bits)
 
     # ---------------------------------------------------------------- identity
 

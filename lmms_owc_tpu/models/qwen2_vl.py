@@ -170,6 +170,11 @@ class _FallbackTokenizer:
 class Qwen2VL(Model):
     """Qwen2-VL on the JAX/TPU stack."""
 
+    # Quantized loading is handled inside load_model (on-device quantized init
+    # for random-init; host build + stream for checkpoints) — the base class
+    # must not wrap load_model in a CPU default-device context.
+    _handles_quantized_load = True
+
     def __init__(
         self,
         pretrained: str | None = None,
