@@ -340,3 +340,34 @@ class TestInt4Kernel:
             assert not int4_matmul_supported(3585, 512, 28)    # odd K
         finally:
             set_use_pallas(False)
+
+
+class TestStreamQuantizeInt4:
+    def test_stream_bits4_matches_posthoc(self):
+        import jax
+        import numpy as np
+
+        from lmms_owc_tpu.ops.quant import (
+            quantize_params_int4,
+            stream_quantize_to_device,
+        )
+
+        rng = np.random.RandomState(0)
+        tree = {
+            "mlp": {"down": {"w": jnp.asarray(rng.randn(3, 256, 16), jnp.float32)}},
+            "lm_head": {"w": jnp.asarray(rng.randn(256, 32), jnp.float32)},
+            "embed_tokens": jnp.asarray(rng.randn(32, 8), jnp.float32),
+        }
+        posthoc = quantize_params_int4(tree)
+        streamed = stream_quantize_to_device(jax.tree.map(np.asarray, tree), bits=4)
+        assert "w_q4" in streamed["mlp"]["down"] and "w_q4" in streamed["lm_head"]
+        for a, b in zip(jax.tree.leaves(posthoc), jax.tree.leaves(streamed)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype == np.int8:
+                # 1-ulp scale differences can flip knife-edge nibbles; the
+                # packed byte then differs in one nibble.
+                assert a.shape == b.shape
+                mismatch = (a != b).mean()
+                assert mismatch < 0.02
+            else:
+                np.testing.assert_allclose(a, b, rtol=1e-6)
