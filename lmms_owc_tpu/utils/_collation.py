@@ -25,7 +25,8 @@ __all__ = ["Collator", "pad_to_bucket", "DEFAULT_LENGTH_BUCKETS"]
 # its prefill FLOPs away at bucket 384. Coarser above, where marginal padding
 # shrinks relative to sequence length.
 DEFAULT_LENGTH_BUCKETS = (
-    128, 192, 256, 320, 384, 448, 512, 640, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192
+    128, 192, 256, 288, 320, 352, 384, 448, 512, 640, 768,
+    1024, 1536, 2048, 3072, 4096, 6144, 8192,
 )
 
 
