@@ -94,7 +94,7 @@ class TestCollator:
     def test_pad_to_bucket(self):
         assert utils.pad_to_bucket(1) == 128
         assert utils.pad_to_bucket(129) == 192  # 64-granular below 512
-        assert utils.pad_to_bucket(281) == 320
+        assert utils.pad_to_bucket(281) == 288  # 32-granular in 256-384
         assert utils.pad_to_bucket(10**9) == utils.DEFAULT_LENGTH_BUCKETS[-1]
 
 
