@@ -202,11 +202,21 @@ class SentenceEncoder:
 
     def encode(self, sentences: list[str], batch_size: int = 1024) -> np.ndarray:
         out = np.zeros((len(sentences), self.config.hidden_size), dtype=np.float32)
-        # Lag-one fetch: dispatch batch N, then fetch batch N-1 — host
-        # tokenization overlaps the device encode of the in-flight batch
-        # (fetching inline would serialize host and device work each iteration)
-        # while device memory stays bounded at two batches of embeddings.
-        pending: tuple[int, int, object] | None = None
+        # Lagged fetches: dispatch up to ``depth`` batches before fetching the
+        # oldest — host tokenization overlaps the device encodes, and on
+        # deferred-execution links each fetch costs a round trip, so a deeper
+        # window amortizes RTT. Device memory stays bounded at
+        # depth x batch x hidden f32 (~12 MB at the defaults), a fraction of
+        # the output array the caller asked for anyway.
+        from collections import deque
+
+        depth = 8
+        pending: deque = deque()
+
+        def drain_one() -> None:
+            p_start, p_n, p_embeds = pending.popleft()
+            out[p_start : p_start + p_n] = np.asarray(p_embeds)[:p_n]
+
         for start in range(0, len(sentences), batch_size):
             chunk = sentences[start : start + batch_size]
             enc = self.tokenizer(
@@ -221,13 +231,11 @@ class SentenceEncoder:
             ids = np.pad(ids, ((0, bbatch - ids.shape[0]), (0, blen - ids.shape[1])))
             mask = np.pad(mask, ((0, bbatch - mask.shape[0]), (0, blen - mask.shape[1])))
             embeds = sbert_encode(self.params, jnp.asarray(ids), jnp.asarray(mask), self.config)
-            if pending is not None:
-                p_start, p_n, p_embeds = pending
-                out[p_start : p_start + p_n] = np.asarray(p_embeds)[:p_n]
-            pending = (start, len(chunk), embeds)
-        if pending is not None:
-            p_start, p_n, p_embeds = pending
-            out[p_start : p_start + p_n] = np.asarray(p_embeds)[:p_n]
+            pending.append((start, len(chunk), embeds))
+            if len(pending) > depth:
+                drain_one()
+        while pending:
+            drain_one()
         return out
 
 
