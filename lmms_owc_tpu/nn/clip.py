@@ -317,6 +317,7 @@ class ClipScorer:
             num_heads=text_cfg.get("num_attention_heads", 12),
             intermediate_size=text_cfg.get("intermediate_size", 3072),
             projection_dim=cfg.get("projection_dim", 768),
+            eos_token_id=text_cfg.get("eos_token_id", 49407),
         )
         state = load_safetensors_state(path)
         params = convert_hf_clip_weights(state, vision_config, text_config, dtype)

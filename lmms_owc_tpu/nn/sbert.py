@@ -22,7 +22,14 @@ from lmms_owc_tpu.utils import get_logger
 
 log = get_logger(__name__)
 
-__all__ = ["SbertConfig", "SentenceEncoder", "init_sbert_params", "resolve_sbert_weights", "sbert_encode"]
+__all__ = [
+    "SbertConfig",
+    "SentenceEncoder",
+    "init_sbert_params",
+    "resolve_sbert_weights",
+    "sbert_config_from_hf",
+    "sbert_encode",
+]
 
 
 @dataclass(frozen=True)
@@ -35,6 +42,20 @@ class SbertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+
+
+def sbert_config_from_hf(cfg: dict) -> SbertConfig:
+    """Build an SbertConfig from an HF BERT config.json dict (defaults: MiniLM-L6)."""
+    return SbertConfig(
+        vocab_size=cfg.get("vocab_size", 30522),
+        hidden_size=cfg.get("hidden_size", 384),
+        num_layers=cfg.get("num_hidden_layers", 6),
+        num_heads=cfg.get("num_attention_heads", 12),
+        intermediate_size=cfg.get("intermediate_size", 1536),
+        max_position_embeddings=cfg.get("max_position_embeddings", 512),
+        type_vocab_size=cfg.get("type_vocab_size", 2),
+        layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+    )
 
 
 def init_sbert_params(key: jax.Array, config: SbertConfig, dtype=jnp.float32) -> dict:
@@ -177,12 +198,15 @@ class SentenceEncoder:
     def from_pretrained(cls, path: str, dtype=jnp.float32) -> "SentenceEncoder":
         from transformers import AutoTokenizer
 
-        from lmms_owc_tpu.nn.loader import load_safetensors_state
+        from lmms_owc_tpu.nn.loader import load_config_json, load_safetensors_state
 
         state = load_safetensors_state(path)
         # sentence-transformers checkpoints may carry a "bert." or module prefix.
         state = {k.removeprefix("bert."): v for k, v in state.items()}
-        config = SbertConfig()
+        try:
+            config = sbert_config_from_hf(load_config_json(path))
+        except FileNotFoundError:
+            config = SbertConfig()
         params = _convert_hf_bert_weights(state, config, dtype)
         tokenizer = AutoTokenizer.from_pretrained(path)
         log.info("loaded MiniLM sentence encoder from %s", path)
