@@ -193,7 +193,34 @@ def _run_single_evaluation(args) -> tuple[dict | None, "EngineTracker | None"]:
     return None, None
 
 
+def _maybe_init_distributed() -> None:
+    """Initialize ``jax.distributed`` for multi-process data parallelism.
+
+    Plays the role of the reference's ``accelerate`` launcher env contract
+    (reference eval_model.py: one process per accelerator, rank/world from the
+    launcher): here, ``JAX_COORDINATOR_ADDRESS`` + ``JAX_NUM_PROCESSES`` +
+    ``JAX_PROCESS_ID`` select the process grid. On TPU pods launched through a
+    cluster scheduler, ``jax.distributed.initialize()`` needs no arguments; these
+    env vars cover manual/CPU launches (tests use gloo CPU collectives).
+    """
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # noqa: BLE001 - older jax without the CPU-collectives knob
+        pass
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+        process_id=int(os.environ["JAX_PROCESS_ID"]),
+    )
+
+
 def main(args) -> None:
+    _maybe_init_distributed()
     if args.wandb_args:
         from lmms_owc_tpu.loggers import WandbLogger
 

@@ -280,7 +280,17 @@ class Task(abc.ABC):
         sliced = instance_groups[:og_limit]
         self._instances = [inst for group in sliced for inst in group]
         if not self._instances:
-            raise ValueError("task.build_all_requests() did not find any docs!")
+            # With rank-sharded docs a rank can legitimately draw zero documents
+            # (world_size > doc count); the evaluator's union-sync and rank-0
+            # gather handle the empty rank. Single-process empty means a broken
+            # task config — keep the reference's hard error there
+            # (reference src/data/tasks/_base.py:417).
+            if world_size <= 1:
+                raise ValueError("task.build_all_requests() did not find any docs!")
+            log.warning(
+                "task %s: rank %d/%d drew no documents (doc count < world size)",
+                self.config.task, rank, world_size,
+            )
 
         if cache_requests and (not cached_instances or rewrite_requests_cache):
             utils.save_to_cache(file_name=cache_key, obj=instance_groups)
