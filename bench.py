@@ -30,6 +30,23 @@ import time
 BASELINE_IMAGES_PER_SEC = 1.0  # reference-style batch-1 A100 estimate (see docstring)
 
 
+def repeat_timed(run, n: int) -> tuple[float, list[float]]:
+    """Run ``run()`` n times; return (accepted elapsed seconds, all elapsed).
+
+    Variance control for A/B decisions on <10% effects: the tunnel occasionally
+    produces ~30% slow outliers (thermal/contention). Runs slower than 1.25x the
+    minimum are rejected; the median of the survivors is reported. n=1 keeps the
+    legacy single-shot behavior.
+    """
+    times = []
+    for _ in range(max(1, n)):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    kept = sorted(t for t in times if t <= 1.25 * min(times))
+    return kept[len(kept) // 2], times
+
+
 def bench_simmatch() -> None:
     """BENCH_MODE=simmatch: sentence-embedding label<->class matching throughput.
 
@@ -60,12 +77,14 @@ def bench_simmatch() -> None:
     warm_refs = [f"warmup only {words[(i + 3) % 8]} sample" for i in range(1024)]
     encoder.encode(warm_refs)
     encoder.encode([s.upper() for s in warm_refs])
-    t0 = time.perf_counter()
-    refs_z = encoder.encode(refs)
-    preds_z = encoder.encode(preds)
-    sims = np.sum(refs_z * preds_z, axis=-1)
-    elapsed = time.perf_counter() - t0
-    assert sims.shape == (n_pairs,)
+
+    def run():
+        refs_z = encoder.encode(refs)
+        preds_z = encoder.encode(preds)
+        sims = np.sum(refs_z * preds_z, axis=-1)
+        assert sims.shape == (n_pairs,)
+
+    elapsed, _ = repeat_timed(run, int(os.environ.get("BENCH_REPEATS", "3")))
     pairs_per_sec = n_pairs / elapsed
     print(
         json.dumps(
@@ -74,6 +93,62 @@ def bench_simmatch() -> None:
                 "value": round(pairs_per_sec, 1),
                 "unit": "pairs/sec",
                 "vs_baseline": round(pairs_per_sec / 1000.0, 3),
+            }
+        )
+    )
+
+
+def bench_judge() -> None:
+    """BENCH_MODE=judge: Llama-3.2-3B judge scoring throughput (pairs/sec).
+
+    Random-init judge (same FLOPs as the real checkpoint), realistic
+    textual-inclusion prompt lengths, greedy 16 new tokens — the stage the
+    reference runs per-GPU via datasets.map(with_rank=True)
+    (reference eval_ranking.py:173-190). No reference throughput exists
+    (BASELINE.md); vs_baseline reports against a 10 pairs/sec nominal point
+    (public Llama-3B batch-1 GPU short-generation rates are O(1-10)/sec).
+    """
+    os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+    import numpy as np
+
+    from lmms_owc_tpu.nn.judge import JudgeModel
+
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "256"))
+    judge = JudgeModel.random_init(seed=0)
+    rng = np.random.RandomState(0)
+    words = ["panda", "jay", "turtle", "retriever", "oak", "jet", "rose", "sedan"]
+
+    def prompt(i, tag):
+        pred = " ".join(rng.choice(words, 24))
+        ref = words[i % 8]
+        return (
+            f"{tag} Is the specie or breed '{ref}' contained in the prediction"
+            f" '{pred}'? Answer with Yes or No."
+        )
+
+    judge.score_pairs([prompt(i, "warmup") for i in range(judge.batch_size)], None, None)
+
+    prompts = [prompt(i, "timed") for i in range(n_pairs)]
+    elapsed, _ = repeat_timed(
+        lambda: judge.score_pairs(prompts, None, None),
+        int(os.environ.get("BENCH_REPEATS", "2")),
+    )
+    pairs_per_sec = n_pairs / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "judge_pairs_per_sec_llama32_3b",
+                "value": round(pairs_per_sec, 2),
+                "unit": "pairs/sec",
+                "vs_baseline": round(pairs_per_sec / 10.0, 3),
             }
         )
     )
@@ -156,6 +231,8 @@ def main() -> None:
         return bench_simmatch()
     if os.environ.get("BENCH_MODE") == "latency":
         return bench_latency()
+    if os.environ.get("BENCH_MODE") == "judge":
+        return bench_judge()
     os.environ.setdefault("LMMS_OWC_TPU_LOG_LEVEL", "WARNING")
     # Persist compiled executables: first run pays remote-compile cost once; driver
     # re-runs load from disk.
@@ -241,15 +318,18 @@ def main() -> None:
         import jax
 
         jax.profiler.start_trace(profile_dir)
-    t0 = time.perf_counter()
-    outputs = model.generate_until(requests)
-    elapsed = time.perf_counter() - t0
+
+    def run():
+        outputs = model.generate_until(requests)
+        assert len(outputs) == num_images
+
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    elapsed, all_times = repeat_timed(run, repeats)
     if profile_dir:
         import jax
 
         jax.profiler.stop_trace()
 
-    assert len(outputs) == num_images
     images_per_sec = num_images / elapsed
     print(
         json.dumps(
@@ -258,6 +338,7 @@ def main() -> None:
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+                "runs_images_per_sec": [round(num_images / t, 3) for t in all_times],
             }
         )
     )

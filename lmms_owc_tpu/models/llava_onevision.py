@@ -163,6 +163,11 @@ class LlavaOnevision(Model):
 
         if self.pretrained is not None and Path(self.pretrained).exists():
             state = load_safetensors_state(self.pretrained)
+
+            def find(name):
+                # "model."-prefixed (new transformers) or bare (older exports).
+                return np.asarray(state[name] if name in state else state["model." + name])
+
             self.params = {
                 "text": convert_hf_decoder_weights(
                     state, self.decoder_config, dtype, attn_bias=self.text_attn_bias
@@ -170,15 +175,15 @@ class LlavaOnevision(Model):
                 "vision": self._convert_siglip(state, dtype),
                 "projector": {
                     "fc1": {
-                        "w": jnp.asarray(np.asarray(state["model.multi_modal_projector.linear_1.weight"]).T, dtype),
-                        "b": jnp.asarray(np.asarray(state["model.multi_modal_projector.linear_1.bias"]), dtype),
+                        "w": jnp.asarray(find("multi_modal_projector.linear_1.weight").T, dtype),
+                        "b": jnp.asarray(find("multi_modal_projector.linear_1.bias"), dtype),
                     },
                     "fc2": {
-                        "w": jnp.asarray(np.asarray(state["model.multi_modal_projector.linear_2.weight"]).T, dtype),
-                        "b": jnp.asarray(np.asarray(state["model.multi_modal_projector.linear_2.bias"]), dtype),
+                        "w": jnp.asarray(find("multi_modal_projector.linear_2.weight").T, dtype),
+                        "b": jnp.asarray(find("multi_modal_projector.linear_2.bias"), dtype),
                     },
                 },
-                "image_newline": jnp.asarray(np.asarray(state["model.image_newline"]), dtype),
+                "image_newline": jnp.asarray(find("image_newline"), dtype),
             }
             del state
             from transformers import AutoTokenizer
@@ -213,15 +218,17 @@ class LlavaOnevision(Model):
         """Reuse the Idefics2 SigLIP converter with the llava vision-tower prefix."""
         from lmms_owc_tpu.nn import idefics2 as idf
 
+        # "model.vision_tower." (new transformers) or bare "vision_tower." (older).
         remapped = {
-            k.replace("model.vision_tower.vision_model.", "model.vision_model."): v
+            k.removeprefix("model.").replace("vision_tower.vision_model.", "model.vision_model."): v
             for k, v in state.items()
             if "vision_tower" in k
         }
         tree = idf.convert_hf_idefics2_weights(
-            {**remapped, **{k: v for k, v in state.items() if "language_model" in k or k == "lm_head.weight"}},
+            remapped,
             idf.Idefics2Config(text=self.text_config, vision=self.vision_config),
             dtype,
+            vision_only=True,
         )
         return tree["vision"]
 

@@ -151,8 +151,13 @@ class Phi3v(Model):
             cfg = load_config_json(self.pretrained)
             text_cfg = cfg if "hidden_size" in cfg else cfg.get("text_config", cfg)
             self.text_config = llama_config_from_hf(text_cfg)
-            vis = dict(hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
-                       intermediate_size=4096, image_size=336, patch_size=14)
+            # Released Phi-3-vision checkpoints keep the CLIP tower config in
+            # remote code, not config.json — default to CLIP-L/336. A checkpoint
+            # that does carry a vision_config (e.g. miniature test fixtures)
+            # overrides it.
+            vis = cfg.get("vision_config") or dict(
+                hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+                intermediate_size=4096, image_size=336, patch_size=14)
         else:
             if not self.random_init:
                 raise FileNotFoundError(f"checkpoint not found: {self.pretrained}")

@@ -337,7 +337,9 @@ class Qwen2VL(Model):
 
     @property
     def eos_token_ids(self) -> list[int]:
-        ids = {SPECIAL_IDS[_IM_END], SPECIAL_IDS["<|endoftext|>"]}
+        # Config is the source of truth (config.json for checkpoints, preset
+        # otherwise); the defaults equal the released-checkpoint SPECIAL_IDS.
+        ids = {int(self.config.eos_token_id), int(self.config.pad_token_id)}
         eos = getattr(self.tokenizer, "eos_token_id", None)
         if eos is not None:
             ids.add(int(eos))
@@ -544,7 +546,7 @@ class Qwen2VL(Model):
     ) -> list[int]:
         """Tokenize, expanding each single <|image_pad|> to its merged token count."""
         ids = self.tokenizer.encode(prompt)
-        image_pad = SPECIAL_IDS[_IMAGE_PAD]
+        image_pad = self.config.image_token_id
         out: list[int] = []
         img_idx = 0
         for tok in ids:

@@ -198,7 +198,9 @@ def convert_hf_clip_weights(
     """
 
     def find(name):
-        for pre in (prefix, ""):
+        # Transformers has moved embedded towers between "model.vision_tower."
+        # and bare "vision_tower." across versions; probe both spellings.
+        for pre in (prefix, prefix.removeprefix("model."), "model." + prefix, ""):
             if pre + name in state:
                 return np.asarray(state[pre + name])
         raise KeyError(f"tensor {name!r} not found")

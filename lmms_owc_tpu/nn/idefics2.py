@@ -301,7 +301,11 @@ def init_idefics2_params(key: jax.Array, config: Idefics2Config, dtype=jnp.bfloa
     }
 
 
-def convert_hf_idefics2_weights(state: dict, config: Idefics2Config, dtype=jnp.bfloat16) -> dict:
+def convert_hf_idefics2_weights(
+    state: dict, config: Idefics2Config, dtype=jnp.bfloat16, vision_only: bool = False
+) -> dict:
+    """vision_only: convert just the SigLIP tower (LLaVA-OneVision reuses it
+    without the Idefics2 perceiver/connector)."""
     def find(name):
         for prefix in ("model.", ""):
             if prefix + name in state:
@@ -353,6 +357,9 @@ def convert_hf_idefics2_weights(state: dict, config: Idefics2Config, dtype=jnp.b
             "bias": raw("vision_model.post_layernorm.bias"),
         },
     }
+
+    if vision_only:
+        return {"vision": vision}
 
     def plain(name):
         return {"w": t(name + ".weight")}

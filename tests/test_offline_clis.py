@@ -136,3 +136,51 @@ class TestDatasetCard:
         assert meta["configs"][0]["config_name"] == "m__results"
         splits = [d["split"] for d in meta["configs"][0]["data_files"]]
         assert "latest" in splits
+
+
+class TestEloScale:
+    """10k-game Elo scale smoke (VERDICT r2 #10): determinism + bounded wall-clock
+    on the fallback encoders, so ranking-path regressions surface in CI."""
+
+    @pytest.fixture()
+    def large_runs(self, tmp_path):
+        import random as _random
+
+        _random.seed(7)
+        classes = ["red panda", "blue jay", "sea turtle", "golden retriever",
+                   "oak tree", "fighter jet", "rose", "sedan"]
+        docs = [classes[i % 8] for i in range(300)]
+        quality = {"model-great": 0.95, "model-mid": 0.5, "model-poor": 0.05}
+        for model, p in quality.items():
+            rows = [
+                {"doc_id": i, "target": t,
+                 "filtered_resps": [t if _random.random() < p else "a violin"]}
+                for i, t in enumerate(docs)
+            ]
+            _write_samples(tmp_path, "toytask", model, rows)
+        return tmp_path
+
+    def test_10k_games_deterministic_and_bounded(self, large_runs):
+        import time
+
+        def run():
+            t0 = time.perf_counter()
+            result = _run(
+                "eval_ranking.py", "-i", str(large_runs), "-c", "semantic_similarity",
+                "-n", "10000", "--seed", "3",
+            )
+            elapsed = time.perf_counter() - t0
+            assert result.returncode == 0, result.stderr[-2000:]
+            return result.stdout, elapsed
+
+        out1, t1 = run()
+        out2, _ = run()
+        assert "Online Elo ratings on toytask:" in out1
+        final = out1.split("Final Elo ratings on toytask:")[1]
+        order = [line.split()[1] for line in final.splitlines() if line and line[0].isdigit()]
+        assert order == ["model-great", "model-mid", "model-poor"]
+        # Deterministic under a fixed seed: identical leaderboards byte-for-byte.
+        assert out1 == out2
+        # Wall-clock regression guard (fallback encoder, CPU): generous 5x headroom
+        # over the ~30s measured; a quadratic blowup in the games path trips this.
+        assert t1 < 240, f"10k-game ranking took {t1:.0f}s"

@@ -200,6 +200,23 @@ class TestJudgeFromPretrained:
 
         assert ours == expected
 
+    def test_data_parallel_matches_single_device(self, llama_checkpoint):
+        """Mesh-sharded judging (8 virtual devices, row-padded batches) must be
+        verdict-identical to single-device judging (ref eval_ranking.py:173-190
+        shards the judge per CUDA device; here it is one pjit over a data mesh)."""
+        import jax
+
+        from lmms_owc_tpu.nn.judge import JudgeModel
+
+        prompts = [f"judge w{i} better a b tie score" for i in range(11)]  # 11 % 8 != 0
+        dp = JudgeModel.from_pretrained(str(llama_checkpoint), dtype=jnp.float32)
+        sd = JudgeModel.from_pretrained(
+            str(llama_checkpoint), dtype=jnp.float32, data_parallel=False
+        )
+        assert (dp.mesh is not None) == (jax.local_device_count() > 1)
+        assert sd.mesh is None
+        assert dp.score_pairs(prompts, None, None) == sd.score_pairs(prompts, None, None)
+
     def test_tokenizer_roundtrip_has_eot(self, llama_checkpoint):
         """The saved tokenizer must resolve <|eot_id|> so the judge's stop set is real."""
         from transformers import AutoTokenizer
