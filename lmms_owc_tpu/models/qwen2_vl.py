@@ -61,6 +61,19 @@ PRESET_CONFIGS = {
             out_hidden_size=3584, window_size=112, fullatt_block_indexes=[7, 15, 23, 31],
         ),
     ),
+    # Flagship-SHAPED dryrun config: every sharding-relevant dim equals the 7B
+    # (hidden 3584, 28/4 heads, 18944 intermediate, 152064 vocab, 1280 vision)
+    # with only the layer counts cut, so the driver's multichip dryrun compiles
+    # and runs the REAL partitioning (incl. int8 leaves) on a virtual CPU mesh
+    # in bounded time. Not a serving preset.
+    "qwen2-vl-flagship-dryrun": dict(
+        vocab_size=19456, hidden_size=3584, num_hidden_layers=2, num_attention_heads=28,
+        num_key_value_heads=4, intermediate_size=18944, tie_word_embeddings=False,
+        image_token_id=5, video_token_id=6, vision_start_token_id=3,
+        eos_token_id=2, pad_token_id=0,
+        vision_config=dict(depth=2, embed_dim=1280, num_heads=16, mlp_ratio=4.0,
+                           hidden_size=3584),
+    ),
     # CPU-testable miniature (same special-token space, tiny everything else).
     "qwen2-vl-tiny": dict(
         vocab_size=152064, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
@@ -129,33 +142,54 @@ class _FallbackTokenizer:
     """Deterministic hash tokenizer for random-init benchmarking (no checkpoint).
 
     Handles the Qwen special tokens exactly; plain text maps to stable pseudo ids.
+    A config (the source of truth for special ids + vocab size) keeps the ids
+    in-range for presets with non-released vocab sizes; with no config the
+    released-checkpoint SPECIAL_IDS apply.
     """
 
-    eos_token_id = SPECIAL_IDS[_IM_END]
-    pad_token_id = SPECIAL_IDS["<|endoftext|>"]
+    def __init__(self, config=None) -> None:
+        self.special_ids = dict(SPECIAL_IDS)
+        vocab = 152064
+        if config is not None:
+            vocab = config.vocab_size
+            self.special_ids.update({
+                _IM_END: config.eos_token_id,
+                "<|endoftext|>": config.pad_token_id,
+                _VISION_START: config.vision_start_token_id,
+                _IMAGE_PAD: config.image_token_id,
+                "<|video_pad|>": config.video_token_id,
+                # Not in the config; released checkpoints place them adjacent
+                # (151644 = eos-1, 151653 = vision_start+1) — keep that layout.
+                _IM_START: max(config.eos_token_id - 1, 1),
+                _VISION_END: config.vision_start_token_id + 1,
+            })
+        self.eos_token_id = self.special_ids[_IM_END]
+        self.pad_token_id = self.special_ids["<|endoftext|>"]
+        # Plain words hash into [1000, first-special), staying in-vocab and off
+        # the special ids.
+        self._plain_span = max(1000, min(vocab, min(self.special_ids.values())) - 1001)
 
     def encode(self, text: str) -> list[int]:
         import re
 
         ids: list[int] = []
-        pattern = "|".join(re.escape(s) for s in SPECIAL_IDS)
+        pattern = "|".join(re.escape(s) for s in self.special_ids)
         pos = 0
         for match in re.finditer(pattern, text):
             ids.extend(self._encode_plain(text[pos : match.start()]))
-            ids.append(SPECIAL_IDS[match.group()])
+            ids.append(self.special_ids[match.group()])
             pos = match.end()
         ids.extend(self._encode_plain(text[pos:]))
         return ids
 
-    @staticmethod
-    def _encode_plain(text: str) -> list[int]:
+    def _encode_plain(self, text: str) -> list[int]:
         return [
-            1000 + int.from_bytes(hashlib.md5(w.encode()).digest()[:3], "little") % 150000
+            1000 + int.from_bytes(hashlib.md5(w.encode()).digest()[:3], "little") % self._plain_span
             for w in text.split()
         ]
 
     def decode(self, ids, skip_special_tokens: bool = True) -> str:
-        inv = {v: k for k, v in SPECIAL_IDS.items()}
+        inv = {v: k for k, v in self.special_ids.items()}
         words = []
         for i in ids:
             i = int(i)
@@ -186,6 +220,7 @@ class Qwen2VL(Model):
         random_init: bool = False,
         system_prompt: str = "You are a helpful assistant.",
         device_resize: bool = False,
+        host_rng_init: bool = False,
         load_in_8bit: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
@@ -199,6 +234,7 @@ class Qwen2VL(Model):
         self.random_init = random_init or pretrained is None
         self.system_prompt = system_prompt
         self.device_resize = device_resize
+        self.host_rng_init = host_rng_init
         self.load_in_8bit = bool(load_in_8bit)
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)
@@ -314,7 +350,8 @@ class Qwen2VL(Model):
                     )
                 bits = 4 if self.load_in_4bit else 8
                 self.params = init_quantized_on_device(
-                    spec, self.jax_random_seed, dtype=dtype, bits=bits
+                    spec, self.jax_random_seed, dtype=dtype, bits=bits,
+                    host_rng=self.host_rng_init,
                 )
                 self._int8_applied = True
                 log.info("random-init int%d weights generated on device", bits)
@@ -332,7 +369,7 @@ class Qwen2VL(Model):
                 self.params = qvl.init_params(
                     jax.random.PRNGKey(self.jax_random_seed), self.config, dtype
                 )
-            self.tokenizer = _FallbackTokenizer()
+            self.tokenizer = _FallbackTokenizer(self.config)
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
 
     @property

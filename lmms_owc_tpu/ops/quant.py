@@ -166,7 +166,7 @@ def stream_quantize_to_device(
 
 def init_quantized_on_device(
     spec_tree, seed: int, exclude: tuple[str, ...] = DEFAULT_EXCLUDE, dtype=jnp.bfloat16,
-    bits: int = 8,
+    bits: int = 8, host_rng: bool = False,
 ) -> dict:
     """Random-init a param tree DIRECTLY on the accelerator, kernels int8 or int4.
 
@@ -185,16 +185,31 @@ def init_quantized_on_device(
 
     counter = [0]
 
-    @functools.partial(jax.jit, static_argnames=("shape",))
-    def gen_normal(key, shape):
-        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
-
     quantize = quantize_int8 if bits == 8 else quantize_int4
     q_key, s_key = ("q", "scale") if bits == 8 else ("q4", "scale")
 
-    @functools.partial(jax.jit, static_argnames=("shape",))
-    def gen_quantized(key, shape):
-        return quantize((jax.random.normal(key, shape) * 0.02).astype(dtype))
+    if host_rng:
+        # CPU backends pay minutes of threefry for billion-element tables;
+        # numpy PCG64 generates in seconds. Same convention (normal * 0.02),
+        # different stream — only for runs where values need not match the
+        # on-device stream (dryruns, CPU tests).
+        import numpy as np
+
+        def gen_normal(key, shape):
+            rng = np.random.Generator(np.random.PCG64(int(np.asarray(key)[-1])))
+            return jnp.asarray(rng.standard_normal(shape, dtype=np.float32) * 0.02, dtype)
+
+        def gen_quantized(key, shape):
+            return jax.jit(quantize)(gen_normal(key, shape))
+    else:
+
+        @functools.partial(jax.jit, static_argnames=("shape",))
+        def gen_normal(key, shape):
+            return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+        @functools.partial(jax.jit, static_argnames=("shape",))
+        def gen_quantized(key, shape):
+            return quantize((jax.random.normal(key, shape) * 0.02).astype(dtype))
 
     def next_key():
         counter[0] += 1
