@@ -259,6 +259,12 @@ def main() -> None:
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
 
+    if bool(int(os.environ.get("BENCH_INT8_ACT", "0"))):
+        # W8A8: int8 activations on every int8-weight matmul (v5e int8 MXU rate).
+        from lmms_owc_tpu.nn.layers import set_int8_activations
+
+        set_int8_activations(True)
+
     known = (
         "qwen2-vl-2b", "qwen2-vl-7b", "qwen2-vl-tiny",
         "qwen2.5-vl-3b", "qwen2.5-vl-7b", "qwen2.5-vl-tiny",

@@ -27,6 +27,17 @@ __all__ = [
 ]
 
 
+# W8A8 toggle (AQT-style): quantize activations per-token to int8 so w_q8
+# matmuls run at the v5e int8 MXU rate. Process-wide; flipped by bench/serving
+# config, never by tests (changes numerics).
+_INT8_ACTIVATIONS = False
+
+
+def set_int8_activations(value: bool) -> None:
+    global _INT8_ACTIVATIONS
+    _INT8_ACTIVATIONS = bool(value)
+
+
 def dense(params: dict, x: jax.Array) -> jax.Array:
     """x @ w (+ b). params: {"w": [in, out], optional "b": [out]}.
 
@@ -39,10 +50,23 @@ def dense(params: dict, x: jax.Array) -> jax.Array:
     """
     if "w_q8" in params:
         qp = params["w_q8"]
-        out = jnp.einsum(
-            "...i,io->...o", x, qp["q"].astype(x.dtype), preferred_element_type=x.dtype
-        )
-        out = out * qp["scale"].astype(x.dtype)
+        if _INT8_ACTIVATIONS:
+            # AQT-style W8A8: per-token dynamic activation quantization, s8 x s8
+            # MXU dot with s32 accumulation (2x the bf16 OPS on v5e), scales
+            # applied to the f32 output. Opt-in (set_int8_activations) — changes
+            # numerics vs weight-only int8.
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6) / 127.0
+            xq = jnp.round(xf / sx).astype(jnp.int8)
+            acc = jnp.einsum(
+                "...i,io->...o", xq, qp["q"], preferred_element_type=jnp.int32
+            )
+            out = (acc.astype(jnp.float32) * sx * qp["scale"]).astype(x.dtype)
+        else:
+            out = jnp.einsum(
+                "...i,io->...o", x, qp["q"].astype(x.dtype), preferred_element_type=x.dtype
+            )
+            out = out * qp["scale"].astype(x.dtype)
     elif "w_q4" in params:
         from lmms_owc_tpu.ops.int4_matmul import int4_matmul, int4_matmul_supported
         from lmms_owc_tpu.ops.quant import unpack_int4

@@ -115,10 +115,28 @@ def gqa_attention_reference(
     return out.reshape(b, h, lq, d)
 
 
+def _rope_rotate(x, cos, sin):
+    """HF half-split rope on a [rows, D] tile; rotation in f32, back to x.dtype."""
+    half = x.shape[-1] // 2
+    x1 = x[:, :half].astype(jnp.float32)
+    x2 = x[:, half:].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, causal: bool, block_k: int, q_offset_blocks: bool
+    q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float, causal: bool, block_k: int,
+    q_offset_blocks: bool, cos_ref=None, sin_ref=None,
 ):
-    """One (batch, head, q-block) program: stream k/v blocks with online softmax."""
+    """One (batch, head, q-block) program: stream k/v blocks with online softmax.
+
+    ``cos_ref``/``sin_ref`` ([1, L, D/2] f32, shared q/k positions) fold the rope
+    rotation into the kernel: q/k tiles rotate on load, riding the attention
+    memory traffic instead of materializing rotated copies in HBM (the vision
+    tower's rope showed up as ~2.4 ms/layer of standalone elementwise plus
+    ~1.9 ms/layer of cos/sin staging in the round-3 xplane).
+    """
     block_q = q_ref.shape[2]
     head_dim = q_ref.shape[3]
     kv_len = k_ref.shape[2]
@@ -131,6 +149,12 @@ def _flash_kernel(
     # f32 accumulation at full rate, while f32xf32 dots run ~8x slower. The
     # scale folds into the f32 scores after the dot.
     q = q_ref[0, 0, :, :]
+    if cos_ref is not None:
+        q = _rope_rotate(
+            q,
+            cos_ref[0, pl.ds(i * block_q, block_q), :],
+            sin_ref[0, pl.ds(i * block_q, block_q), :],
+        )
 
     q_abs = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
 
@@ -138,6 +162,12 @@ def _flash_kernel(
         acc, m_prev, l_prev = carry
         k_blk = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         v_blk = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        if cos_ref is not None:
+            k_blk = _rope_rotate(
+                k_blk,
+                cos_ref[0, pl.ds(kb * block_k, block_k), :],
+                sin_ref[0, pl.ds(kb * block_k, block_k), :],
+            )
         scores = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [block_q, block_k] f32
@@ -193,6 +223,8 @@ def flash_attention(
     block_q: int | None = DEFAULT_BLOCK_Q,
     block_k: int | None = DEFAULT_BLOCK_K,
     use_pallas: bool | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
 ) -> jax.Array:
     """Multi-head attention. Pallas kernel on TPU; jnp reference elsewhere.
 
@@ -204,9 +236,15 @@ def flash_attention(
         kv_mask: [B, Lk] validity mask (1 = attend).
         scale: score scale; defaults to 1/sqrt(D).
         use_pallas: force the kernel on/off (None = auto by backend).
+        rope_cos, rope_sin: [B, L, D/2] position tables (self-attention, Lq == Lk):
+            the kernel rotates q/k tiles on load (HF half-split convention) so no
+            rotated copies hit HBM; the fallback pre-rotates and is bit-equivalent
+            to apply_rope + attention.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    if rope_cos is not None and q.shape[2] != k.shape[2]:
+        raise ValueError("fused rope expects self-attention (Lq == Lk)")
     if use_pallas is None:
         if _USE_PALLAS_OVERRIDE is not None:
             use_pallas = _USE_PALLAS_OVERRIDE
@@ -231,6 +269,11 @@ def flash_attention(
             (x for x in (128, 256, 384, 512, 768, 1024) if x <= lk and lk % x == 0), default=128
         )
     if not use_pallas or lq % block_q != 0 or lk % block_k != 0 or lq < block_q:
+        if rope_cos is not None:
+            from lmms_owc_tpu.nn.layers import apply_rope
+
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
         if k.shape[1] != h:
             return gqa_attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
         return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
@@ -258,13 +301,38 @@ def flash_attention(
             pl.BlockSpec((1, 8, lk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(mask8)
-        kernel = functools.partial(
-            _flash_kernel, scale=scale, causal=causal, block_k=block_k, q_offset_blocks=True
-        )
+        base_kernel = _flash_kernel
     else:
-        kernel = functools.partial(
-            _maskless_kernel_adapter, scale=scale, causal=causal, block_k=block_k
-        )
+        base_kernel = _maskless_kernel_adapter
+    kernel = functools.partial(
+        base_kernel, scale=scale, causal=causal, block_k=block_k,
+        **({"q_offset_blocks": True} if base_kernel is _flash_kernel else {}),
+    )
+    if rope_cos is not None:
+        half = d // 2
+        # Full-length [1, L, D/2] blocks (last dim == array dim, exempt from the
+        # 128-lane tile minimum); q/k tiles index rows with pl.ds inside.
+        for table in (rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32)):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, lq, half), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(table)
+
+        def kernel_with_rope(*refs):
+            # pallas passes refs as (*inputs, *outputs): q, k, v, [mask], cos, sin, o.
+            q_ref, k_ref, v_ref = refs[:3]
+            o_ref = refs[-1]
+            rest = refs[3:-1]
+            mask_ref = rest[0] if len(rest) == 3 else None
+            cos_ref, sin_ref = rest[-2], rest[-1]
+            _flash_kernel(
+                q_ref, k_ref, v_ref, mask_ref, o_ref, scale=scale, causal=causal,
+                block_k=block_k, q_offset_blocks=True, cos_ref=cos_ref, sin_ref=sin_ref,
+            )
+
+        kernel = kernel_with_rope
 
     out = pl.pallas_call(
         kernel,

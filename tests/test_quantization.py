@@ -59,6 +59,30 @@ class TestQuantizeInt8:
         assert cos > 0.999
         np.testing.assert_allclose(quant, full, rtol=0.05, atol=0.15)
 
+    def test_int8_activations_close_to_weight_only(self):
+        """W8A8 (set_int8_activations): bounded extra drift over weight-only int8,
+        restored cleanly after the toggle."""
+        from lmms_owc_tpu.nn.layers import set_int8_activations
+
+        rng = np.random.RandomState(3)
+        params = {"w": jnp.asarray(rng.randn(256, 128).astype(np.float32) * 0.05)}
+        x = jnp.asarray(rng.randn(6, 48, 256).astype(np.float32))
+        full = np.asarray(dense(params, x))
+        qparams = quantize_params_int8({"proj": params})["proj"]
+        w8 = np.asarray(dense(qparams, x))
+        set_int8_activations(True)
+        try:
+            w8a8 = np.asarray(dense(qparams, x))
+        finally:
+            set_int8_activations(False)
+        assert not np.allclose(w8a8, w8)  # the toggle actually changed the path
+        scale = np.abs(full).max()
+        assert np.abs(w8 - full).max() / scale < 0.02
+        assert np.abs(w8a8 - full).max() / scale < 0.03
+        # toggle restored: back to the weight-only result
+        again = np.asarray(dense(qparams, x))
+        np.testing.assert_array_equal(again, w8)
+
     def test_exclusions_preserved(self):
         tree = {
             "patch_embed": {"w": jnp.ones((8, 4))},
