@@ -259,8 +259,13 @@ def main() -> None:
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
 
-    if bool(int(os.environ.get("BENCH_INT8_ACT", "0"))):
-        # W8A8: int8 activations on every int8-weight matmul (v5e int8 MXU rate).
+    if bool(int(os.environ.get("BENCH_INT8_ACT", "1"))):
+        # W8A8 (default): per-token int8 activations on every int8-weight matmul,
+        # hitting the v5e int8 MXU rate. Hardware A/B median-of-3: 17.77
+        # (17.30-18.43) vs 16.17 weight-only. Closer to the reference's
+        # bitsandbytes LLM.int8 (which also runs s8 x s8 matmuls) than
+        # weight-only was; numerics drift pinned in tests/test_quantization.py.
+        # BENCH_INT8_ACT=0 opts out.
         from lmms_owc_tpu.nn.layers import set_int8_activations
 
         set_int8_activations(True)

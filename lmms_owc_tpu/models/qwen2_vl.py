@@ -221,6 +221,7 @@ class Qwen2VL(Model):
         system_prompt: str = "You are a helpful assistant.",
         device_resize: bool = False,
         host_rng_init: bool = False,
+        int8_activations: bool = False,
         load_in_8bit: bool = False,
         jax_random_seed: int = 1234,
         **kwargs,
@@ -235,6 +236,11 @@ class Qwen2VL(Model):
         self.system_prompt = system_prompt
         self.device_resize = device_resize
         self.host_rng_init = host_rng_init
+        if int8_activations:
+            # W8A8 serving mode (process-wide: one served model per process).
+            from lmms_owc_tpu.nn.layers import set_int8_activations
+
+            set_int8_activations(True)
         self.load_in_8bit = bool(load_in_8bit)
         self.jax_random_seed = jax_random_seed
         super().__init__(model_id=preset, **kwargs)

@@ -34,8 +34,18 @@ _INT8_ACTIVATIONS = False
 
 
 def set_int8_activations(value: bool) -> None:
+    """Set the process-wide W8A8 mode.
+
+    The flag is read at TRACE time inside ``dense``; programs jitted before a
+    flip would silently keep the old path, so changing the value drops the jit
+    caches (recompile on next use). Serving sets this once before the first
+    forward, where it is free.
+    """
     global _INT8_ACTIVATIONS
-    _INT8_ACTIVATIONS = bool(value)
+    value = bool(value)
+    if value != _INT8_ACTIVATIONS:
+        _INT8_ACTIVATIONS = value
+        jax.clear_caches()
 
 
 def dense(params: dict, x: jax.Array) -> jax.Array:

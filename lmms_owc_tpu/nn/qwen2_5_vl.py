@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmms_owc_tpu.nn.layers import apply_rope, dense, gelu, rms_norm
-from lmms_owc_tpu.ops.attention import attention_reference
+from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
 from lmms_owc_tpu.utils import get_logger
 
 log = get_logger(__name__)
@@ -203,9 +203,13 @@ def vision25_encode(
             q = qkv[:, 0].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
             k = qkv[:, 1].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
             v = qkv[:, 2].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-            q = apply_rope(q, cos.reshape(b, l, -1), sin.reshape(b, l, -1))
-            k = apply_rope(k, cos.reshape(b, l, -1), sin.reshape(b, l, -1))
-            attn = attention_reference(q, k, v, kv_mask=valid_mask.reshape(b, l))
+            # Fused-rope dispatch: full-attention layers (kv = wn*s >= 512) hit the
+            # Pallas kernel with in-kernel rotation; window layers (small s) fall
+            # back to pre-rotated reference attention — identical math.
+            attn = flash_attention(
+                q, k, v, kv_mask=valid_mask.reshape(b, l),
+                rope_cos=cos.reshape(b, l, -1), rope_sin=sin.reshape(b, l, -1),
+            )
             attn = attn.transpose(0, 2, 1, 3).reshape(tn, nh * hd)
             x = x + dense(layer["proj"], attn)
             normed2 = rms_norm(layer["norm2"], x, eps=1e-6)

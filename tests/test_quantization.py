@@ -155,6 +155,48 @@ class TestQuantizedDecoder:
         assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
 
 
+class TestW8A8Decoder:
+    def test_prefill_logits_and_tokens_vs_weight_only(self):
+        """Decoder-level W8A8 drift: prefill logits stay close to weight-only
+        int8 and greedy tokens agree on a tiny decoder (the model-level version
+        of the per-matmul drift bound)."""
+        import jax
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.nn.layers import set_int8_activations
+        from lmms_owc_tpu.ops.quant import quantize_params_int8
+
+        config = qvl.Qwen2VLConfig.from_hf_dict(dict(
+            vocab_size=512, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+            tie_word_embeddings=False,
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            vision_config=dict(depth=2, embed_dim=32, num_heads=4, mlp_ratio=2.0),
+        ))
+        params = qvl.init_decoder_params(jax.random.PRNGKey(0), config, jnp.float32)
+        qparams = quantize_params_int8(params)
+
+        rng = np.random.RandomState(0)
+        B, L = 2, 16
+        embeds = jnp.asarray(rng.randn(B, L, 64).astype(np.float32) * 0.1)
+        pos = jnp.broadcast_to(jnp.arange(L)[None, None, :], (3, B, L)).astype(jnp.int32)
+        mask = jnp.ones((B, L), jnp.int32)
+
+        w8, _ = qvl.prefill(qparams, embeds, pos, mask, config, cache_len=L + 8)
+        set_int8_activations(True)
+        try:
+            w8a8, _ = qvl.prefill(qparams, embeds, pos, mask, config, cache_len=L + 8)
+        finally:
+            set_int8_activations(False)
+        w8, w8a8 = np.asarray(w8), np.asarray(w8a8)
+        assert not np.array_equal(w8, w8a8)
+        denom = np.abs(w8).max()
+        assert np.abs(w8a8 - w8).max() / denom < 0.05
+        # Greedy argmax agreement on the last position.
+        agree = (w8.argmax(-1) == w8a8.argmax(-1)).mean()
+        assert agree >= 0.5  # tiny random model; real gaps are far wider
+
+
 class TestInt8OtherAdapters:
     def test_instructblip_base_class_path(self, toy_task_path, toy_dataset):
         """load_in_8bit through the Model base class (adapter has no own handling)."""
