@@ -479,9 +479,10 @@ def vision_encode_batch(
         # slicing here — A/B'd on hardware (14.1 vs 13.1-13.7 img/s/chip e2e);
         # XLA fuses this layout into the attention consumers.
         qkv = dense(layer["qkv"], normed).reshape(n, P, 3, nh, hd)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [N, nh, P, hd]
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        # One transpose of the packed tensor, then free leading-axis slices
+        # (vs three gather+transpose fusions; A/B'd r3).
+        qkv_t = qkv.transpose(2, 0, 3, 1, 4)  # [3, N, nh, P, hd]
+        q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
         # Rope rides the attention kernel's q/k loads (r3 xplane: standalone
         # rotation + cos/sin staging cost ~4.3 ms of the 23.6 ms layer).
         attn = flash_attention(q, k, v, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin)
