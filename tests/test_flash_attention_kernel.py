@@ -1,0 +1,67 @@
+"""Flash-attention kernel vs reference — incl. the fused-rope path.
+
+On the default CPU test platform the Pallas kernel cannot run, so these tests
+pin the DISPATCH semantics (fused-rope fallback == apply_rope + reference,
+GQA contraction == repeated-head reference). With ``LMMS_OWC_TEST_TPU=1`` the
+same cases force ``use_pallas=True`` at vision shapes and pin the kernel's
+numerics on real hardware (the tiny parity-suite shapes sit below the kv=512
+dispatch threshold and would otherwise never touch the kernel).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lmms_owc_tpu.nn.layers import apply_rope
+from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
+
+ON_TPU = bool(os.environ.get("LMMS_OWC_TEST_TPU")) and jax.default_backend() == "tpu"
+
+
+def _setup(B=2, H=4, L=512, D=80, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, H, L, D), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, L, D), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, L, D), jnp.bfloat16)
+    freqs = jnp.asarray(rng.uniform(0, 6.28, (B, L, D // 2)), jnp.float32)
+    mask = jnp.asarray((rng.rand(B, L) > 0.15).astype(np.int32))
+    return q, k, v, jnp.cos(freqs), jnp.sin(freqs), mask
+
+
+@pytest.mark.parametrize("masked", [True, False])
+def test_fused_rope_matches_rotate_then_attend(masked):
+    q, k, v, cos, sin, mask = _setup()
+    kv_mask = mask if masked else None
+    expected = attention_reference(
+        apply_rope(q, cos, sin), apply_rope(k, cos, sin), v, kv_mask=kv_mask
+    )
+    out = flash_attention(
+        q, k, v, kv_mask=kv_mask, rope_cos=cos, rope_sin=sin, use_pallas=ON_TPU
+    )
+    tol = 3e-3 if ON_TPU else 2e-3
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=tol, rtol=tol
+    )
+
+
+def test_kernel_matches_reference_causal():
+    q, k, v, _, _, _ = _setup(L=512, D=128)
+    expected = attention_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, use_pallas=ON_TPU)
+    # Early causal rows attend to very few keys, so the kernel's bf16 softmax
+    # weights don't average out: ~0.03% of elements land ~2 bf16 ulps off on
+    # TPU (measured max 0.016). Semantics, not precision, is the contract here.
+    tol = 2e-2 if ON_TPU else 2e-3
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=tol, rtol=tol
+    )
+
+
+def test_fused_rope_rejects_cross_attention():
+    q, k, v, cos, sin, _ = _setup()
+    with pytest.raises(ValueError):
+        flash_attention(q, k[:, :, :256], v[:, :, :256], rope_cos=cos, rope_sin=sin)
