@@ -36,6 +36,7 @@ from lmms_owc_tpu.ops.attention import (
     attention_reference,
     flash_attention,
     gqa_attention_reference,
+    gqa_decode_attention,
 )
 from lmms_owc_tpu.utils import get_logger
 
@@ -804,11 +805,12 @@ def decode_step(
         cv_all = jax.lax.dynamic_update_slice(
             cv_all, v[None].astype(cv_all.dtype), (i, zero, zero, cache_pos, zero)
         )
-        ck = jax.lax.dynamic_index_in_dim(ck_all, i, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cv_all, i, 0, keepdims=False)
-        # GQA form: reads the cache once instead of materializing nh/kvh copies.
-        out = gqa_attention_reference(q, ck, cv, kv_mask=kv_mask)
-        out = out.transpose(0, 2, 1, 3).reshape(b, 1, nh * hd)
+        # Flash-decode kernel: attends against the layer's block of the STACKED
+        # cache (scalar-prefetched layer index — no per-layer slice copy) with
+        # scores+softmax+PV fused; falls back to dynamic_index_in_dim +
+        # gqa_attention_reference off-TPU.
+        out = gqa_decode_attention(q[:, :, 0, :], ck_all, cv_all, i, kv_mask)
+        out = out.reshape(b, 1, nh * hd)
         x = x + dense(layer["attn"]["o"], out)
         x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
         return x, ck_all, cv_all

@@ -20,7 +20,12 @@ import math
 import jax
 import jax.numpy as jnp
 
-__all__ = ["flash_attention", "attention_reference", "gqa_attention_reference"]
+__all__ = [
+    "flash_attention",
+    "attention_reference",
+    "gqa_attention_reference",
+    "gqa_decode_attention",
+]
 
 import os as _os
 
@@ -356,3 +361,133 @@ def flash_attention(
 
 def _maskless_kernel_adapter(q_ref, k_ref, v_ref, o_ref, **kwargs):
     _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, q_offset_blocks=True, **kwargs)
+
+
+def _decode_kernel(lidx_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    """One (batch-block, kv-head) program of single-token GQA decode attention.
+
+    Block shapes: q [block_b, 1, G, D], k/v [1, block_b, 1, S, D] (the layer
+    block of the STACKED cache, selected by the scalar-prefetched layer index
+    in the BlockSpec index map — the cache is never sliced/copied in HBM),
+    mask [block_b, 8, S]. The whole kv length fits in VMEM at decode shapes,
+    so plain (not online) softmax in f32.
+    """
+    del lidx_ref  # consumed by the index maps
+    block_b = q_ref.shape[0]
+    for bi in range(block_b):
+        qt = q_ref[bi, 0]  # [G, D] stored dtype (bf16 dot, f32 accumulate)
+        kt = k_ref[0, bi, 0]  # [S, D]
+        vt = v_ref[0, bi, 0]  # [S, D]
+        scores = (
+            jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [G, S] f32
+        valid = mask_ref[bi, 0, :] != 0
+        scores = jnp.where(valid[None, :], scores, _NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        # Normalize in f32 then cast, matching gqa_attention_reference's
+        # softmax(f32).astype(v.dtype) before the PV dot.
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vt.dtype)
+        out = jax.lax.dot_general(
+            w, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[bi, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "use_pallas", "interpret"))
+def gqa_decode_attention(
+    q: jax.Array,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    layer_idx: jax.Array,
+    kv_mask: jax.Array,
+    *,
+    scale: float | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token GQA attention against ONE LAYER of a stacked KV cache.
+
+    Decode-path replacement for dynamic_index_in_dim + gqa_attention_reference
+    inside the layer fori-loop: the r3b xplane showed that form costing
+    ~5.4 ms/step at 7B B=48 against a ~1.2 ms cache-read roofline — XLA
+    materializes the per-layer cache slice (2x 0.68 ms/step) and runs the
+    f32 score/softmax/PV chain as separate HBM-bound fusions (1.9 ms/step).
+    Here the layer block is DMA'd straight out of the stacked cache (the
+    scalar-prefetched ``layer_idx`` feeds the BlockSpec index map) and
+    scores+softmax+PV fuse into one VMEM-resident program.
+
+    Args:
+        q: [B, H, D] current-token queries (consecutive-head GQA grouping).
+        cache_k, cache_v: [L, B, KVH, S, D] stacked caches, H % KVH == 0.
+        layer_idx: scalar int32 layer to attend against.
+        kv_mask: [B, S], 1 = attend.
+    Returns: [B, H, D] in q.dtype.
+    """
+    b, h, d = q.shape
+    kvh, s = cache_k.shape[2], cache_k.shape[3]
+    g = h // kvh
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        if _USE_PALLAS_OVERRIDE is not None:
+            use_pallas = _USE_PALLAS_OVERRIDE
+        else:
+            # LMMS_OWC_DECODE_KERNEL=0 opts out (A/B hygiene; see e2e numbers
+            # in ROUND_NOTES before trusting a change here).
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and _os.environ.get("LMMS_OWC_DECODE_KERNEL", "1") != "0"
+            )
+
+    if not use_pallas:
+        ck = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
+        out = gqa_attention_reference(
+            q[:, :, None, :], ck, cv, kv_mask=kv_mask, scale=scale
+        )
+        return out[:, :, 0, :]
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    block_b = max(x for x in range(1, min(b, 8) + 1) if b % x == 0)
+    qg = q.reshape(b, kvh, g, d)
+    # (1, 8, S)-tiled mask (sublane broadcast), same trick as flash_attention.
+    mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, s))
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b // block_b, kvh),
+        in_specs=[
+            pl.BlockSpec((block_b, 1, g, d), lambda bi, hi, lref: (bi, hi, 0, 0)),
+            pl.BlockSpec(
+                (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
+            ),
+            pl.BlockSpec((block_b, 8, s), lambda bi, hi, lref: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1, g, d), lambda bi, hi, lref: (bi, hi, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * s * d,
+            bytes_accessed=2 * b * kvh * s * d * cache_k.dtype.itemsize
+            + 2 * b * h * d * q.dtype.itemsize,
+            transcendentals=b * h * s,
+        ),
+        interpret=interpret,
+    )(lidx, qg, cache_k, cache_v, mask8)
+    return out.reshape(b, h, d)

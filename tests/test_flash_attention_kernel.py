@@ -17,7 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from lmms_owc_tpu.nn.layers import apply_rope
-from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
+from lmms_owc_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+    gqa_decode_attention,
+)
 
 ON_TPU = bool(os.environ.get("LMMS_OWC_TEST_TPU")) and jax.default_backend() == "tpu"
 
@@ -65,3 +69,40 @@ def test_fused_rope_rejects_cross_attention():
     q, k, v, cos, sin, _ = _setup()
     with pytest.raises(ValueError):
         flash_attention(q, k[:, :, :256], v[:, :, :256], rope_cos=cos, rope_sin=sin)
+
+
+@pytest.mark.parametrize(
+    "b,h,kvh,d",
+    [
+        (4, 28, 4, 128),  # qwen2-vl-7b grouping
+        (1, 24, 8, 128),  # llama-3.2 judge grouping, latency-mode batch 1
+        (4, 8, 8, 96),    # MHA, non-128 head_dim (phi3-like)
+    ],
+)
+def test_decode_kernel_matches_reference(b, h, kvh, d):
+    """Flash-decode kernel vs the dynamic-slice + GQA-reference fallback.
+
+    On CPU the kernel runs in Pallas interpret mode (real scalar-prefetch layer
+    indexing, real block specs); with LMMS_OWC_TEST_TPU=1 it compiles for the
+    chip. Layer indexing is exercised across all layers of the stacked cache.
+    """
+    rng = np.random.RandomState(3)
+    num_layers, s = 3, 64
+    q = jnp.asarray(rng.randn(b, h, d), jnp.bfloat16)
+    ck = jnp.asarray(rng.randn(num_layers, b, kvh, s, d), jnp.bfloat16)
+    cv = jnp.asarray(rng.randn(num_layers, b, kvh, s, d), jnp.bfloat16)
+    # Left-padded-style mask with ragged starts plus a fully-valid row.
+    mask = (rng.rand(b, s) > 0.3).astype(np.int32)
+    mask[0] = 1
+    mask = jnp.asarray(mask)
+    for layer in range(num_layers):
+        lidx = jnp.asarray(layer, jnp.int32)
+        expected = gqa_decode_attention(q, ck, cv, lidx, mask, use_pallas=False)
+        out = gqa_decode_attention(
+            q, ck, cv, lidx, mask, use_pallas=True, interpret=not ON_TPU
+        )
+        tol = 3e-3 if ON_TPU else 2e-3
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(expected, np.float32),
+            atol=tol, rtol=tol,
+        )
