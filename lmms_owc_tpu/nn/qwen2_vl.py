@@ -17,6 +17,7 @@ TPU-first reimplementation of the model family the reference drives through HF t
 from __future__ import annotations
 
 import functools
+import os as _os
 from dataclasses import dataclass, field
 
 import jax
@@ -815,9 +816,20 @@ def decode_step(
         x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
         return x, ck_all, cv_all
 
-    x, cache_k, cache_v = jax.lax.fori_loop(
-        0, config.num_layers, layer_fn, (x, cache_k, cache_v)
-    )
+    if _os.environ.get("LMMS_OWC_DECODE_UNROLL", "0") == "1":
+        # Unrolled layer loop: static weight/cache indexing. MEASURED SLOWER
+        # than the fori form (interleaved A/B, 7B int8 B=48: 18.4/18.9 vs
+        # 19.7-20.3 img/s/chip) — the rolled loop's double-buffered weight
+        # prefetch schedules better than the unrolled program even though it
+        # pays ~1.2 ms/step of dynamic-slice copies. Kept as an opt-in probe.
+        carry = (x, cache_k, cache_v)
+        for i in range(config.num_layers):
+            carry = layer_fn(i, carry)
+        x, cache_k, cache_v = carry
+    else:
+        x, cache_k, cache_v = jax.lax.fori_loop(
+            0, config.num_layers, layer_fn, (x, cache_k, cache_v)
+        )
     x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
     logits = _head_logits(params, x[:, 0])
     return logits, (cache_k, cache_v)
