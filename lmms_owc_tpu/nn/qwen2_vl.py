@@ -487,7 +487,10 @@ def vision_encode_batch(
         q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
         # Rope rides the attention kernel's q/k loads (r3 xplane: standalone
         # rotation + cos/sin staging cost ~4.3 ms of the 23.6 ms layer).
-        attn = flash_attention(q, k, v, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin)
+        attn = flash_attention(
+            q, k, v, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin,
+            kv_mask_contiguous=True,  # [:num_patches] prefix run (models/qwen2_vl)
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(n, P, nh * hd)
         x = x + dense(layer["proj"], attn)
         normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
@@ -624,8 +627,11 @@ def _attention_block(layer, x, cos, sin, config, kv_mask, causal, cache=None, ca
     k = apply_rope(k, cos, sin)
 
     if cache is None:
-        # GQA K/V passed raw: the XLA path groups q instead of repeating the cache.
-        out = flash_attention(q, k, v, causal=causal, kv_mask=kv_mask)
+        # GQA K/V passed raw (neither path repeats heads); the prefill padding
+        # mask is one contiguous run, so the kernel takes it as SMEM scalars.
+        out = flash_attention(
+            q, k, v, causal=causal, kv_mask=kv_mask, kv_mask_contiguous=True
+        )
         new_kv = (k, v)
     else:
         cache_k, cache_v = cache

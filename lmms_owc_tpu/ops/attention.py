@@ -6,10 +6,12 @@ src/models/_qwen2_vl.py:100-101). Online-softmax tiling keeps the [Lq, Lk] score
 matrix out of HBM: per q-block, k/v are streamed through VMEM in blocks with a
 running (max, sum, accumulator) triple carried across k blocks.
 
-Layouts: q [B, H, Lq, D], k/v [B, H, Lk, D], optional kv_mask [B, Lk] (1 = valid).
-Sequence lengths must be padded to multiples of the block sizes (the nn layer pads
-to MXU-aligned buckets anyway). GQA/MQA is handled by the caller repeating k/v heads
-(XLA turns the broadcast into free addressing).
+Layouts: q [B, H, Lq, D], k/v [B, H, Lk, D] or GQA [B, KVH, Lk, D], optional
+kv_mask [B, Lk] (1 = valid). Sequence lengths must be padded to multiples of the
+block sizes (the nn layer pads to MXU-aligned buckets anyway). GQA/MQA streams the
+raw KV: the kernel grid is (batch, kv-head, group, q-block) with division-free k/v
+index maps, and the XLA fallback contracts grouped q against the raw cache —
+neither materializes repeated heads in HBM.
 """
 
 from __future__ import annotations
@@ -149,7 +151,14 @@ def _flash_kernel(
 
     import jax.experimental.pallas as pl
 
-    i = pl.program_id(2)
+    i = pl.program_id(3)
+    scalar_mask = mask_ref is not None and len(mask_ref.shape) == 2
+    if scalar_mask:
+        # (start, end) of the row's contiguous valid run, from the whole-array
+        # SMEM table (program_id is illegal inside the fori body in interpret
+        # mode, so read the scalars here).
+        bi = pl.program_id(0)
+        valid_start, valid_end = mask_ref[bi, 0], mask_ref[bi, 1]
     # Keep q/k/v in their stored dtype (bf16): the MXU runs bf16-multiply with
     # f32 accumulation at full rate, while f32xf32 dots run ~8x slower. The
     # scale folds into the f32 scores after the dot.
@@ -177,10 +186,18 @@ def _flash_kernel(
             q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [block_q, block_k] f32
 
-        if causal:
+        if causal or scalar_mask:
             k_abs = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            scores = jnp.where(k_abs <= q_abs + (kv_len - pl.num_programs(2) * block_q), scores, _NEG_INF)
-        if mask_ref is not None:
+        if causal:
+            scores = jnp.where(k_abs <= q_abs + (kv_len - pl.num_programs(3) * block_q), scores, _NEG_INF)
+        if scalar_mask:
+            # Contiguous padding run reduced to (start, end) SMEM scalars — no
+            # mask tensor in HBM/VMEM, and no lane-axis slice to 128-align.
+            valid = (k_abs >= valid_start) & (k_abs < valid_end)
+            scores = jnp.where(valid, scores, _NEG_INF)
+        elif mask_ref is not None:
+            # Lane-axis mask tensor: the in-kernel slice offset kb*block_k must be
+            # 128-aligned (Mosaic lane constraint) — dispatch enforces block_k%128==0.
             valid = mask_ref[0, 0, pl.ds(kb * block_k, block_k)].astype(jnp.bool_)
             scores = jnp.where(valid[None, :], scores, _NEG_INF)
 
@@ -203,7 +220,7 @@ def _flash_kernel(
     if causal:
         # Skip k blocks that lie entirely above the causal diagonal: the last valid
         # kv index for this q block is (i+1)*block_q - 1 + (Lk - Lq).
-        offset = kv_len - pl.num_programs(2) * block_q
+        offset = kv_len - pl.num_programs(3) * block_q
         upper = jnp.minimum(
             pl.cdiv((i + 1) * block_q + offset, block_k), num_k_blocks
         )
@@ -215,7 +232,11 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "causal", "scale", "block_q", "block_k", "use_pallas", "interpret",
+        "kv_mask_contiguous",
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -230,15 +251,27 @@ def flash_attention(
     use_pallas: bool | None = None,
     rope_cos: jax.Array | None = None,
     rope_sin: jax.Array | None = None,
+    kv_mask_contiguous: bool = False,
+    interpret: bool = False,
 ) -> jax.Array:
     """Multi-head attention. Pallas kernel on TPU; jnp reference elsewhere.
 
     Args:
         q: [B, H, Lq, D]; k, v: [B, H, Lk, D] or GQA [B, KVH, Lk, D] with
-            H % KVH == 0 (the XLA path contracts grouped q against the raw KV —
-            no repeated-head materialization; the Pallas path broadcasts).
+            H % KVH == 0. Neither path materializes repeated KV heads: the XLA
+            path contracts grouped q against the raw cache, the Pallas path
+            streams each kv head once over a (batch, kv-head, group, q-block)
+            grid with division-free k/v index maps.
         causal: apply causal mask aligned to the sequence end (prefill).
         kv_mask: [B, Lk] validity mask (1 = attend).
+        kv_mask_contiguous: static promise that each row of ``kv_mask`` is ONE
+            contiguous run of ones (left/right padding masks). The kernel then
+            reduces the mask to per-row (start, end) SMEM scalars — no mask
+            tensor traffic, and any 16-multiple block_k tiles (e.g. the 144
+            blocks of the 288 bucket). Non-contiguous masks (Idefics2's 2-D
+            grid padding, Qwen2.5-VL's per-window packing) must leave this
+            False: the tensor-mask path then requires 128-multiple k blocks
+            and otherwise falls back to XLA.
         scale: score scale; defaults to 1/sqrt(D).
         use_pallas: force the kernel on/off (None = auto by backend).
         rope_cos, rope_sin: [B, L, D/2] position tables (self-attention, Lq == Lk):
@@ -267,12 +300,22 @@ def flash_attention(
 
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    # Candidates include the 32-granular bucket divisors (96/144/160/176/192)
+    # so the 256-384 prefill buckets tile instead of falling back to XLA.
     if block_q is None:
-        block_q = max((x for x in (128, 256, 384, 512) if x <= lq and lq % x == 0), default=128)
-    if block_k is None:
-        block_k = max(
-            (x for x in (128, 256, 384, 512, 768, 1024) if x <= lk and lk % x == 0), default=128
+        block_q = max(
+            (x for x in (96, 128, 144, 160, 176, 192, 256, 384, 512) if x <= lq and lq % x == 0),
+            default=128,
         )
+    if block_k is None:
+        # A lane-axis mask tensor is sliced at kb*block_k inside the kernel, so
+        # its blocks must stay 128-aligned; scalar (contiguous) masks and the
+        # maskless path may use any 16-multiple divisor.
+        if kv_mask is not None and not kv_mask_contiguous:
+            k_cands = (128, 256, 384, 512, 768, 1024)
+        else:
+            k_cands = (96, 128, 144, 160, 176, 192, 256, 384, 512, 768, 1024)
+        block_k = max((x for x in k_cands if x <= lk and lk % x == 0), default=128)
     if not use_pallas or lq % block_q != 0 or lk % block_k != 0 or lq < block_q:
         if rope_cos is not None:
             from lmms_owc_tpu.nn.layers import apply_rope
@@ -282,30 +325,50 @@ def flash_attention(
         if k.shape[1] != h:
             return gqa_attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
         return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
-    if k.shape[1] != h:
-        kvh = k.shape[1]
-        rep = h // kvh
-        k = jnp.broadcast_to(k[:, :, None], (b, kvh, rep, lk, d)).reshape(b, h, lk, d)
-        v = jnp.broadcast_to(v[:, :, None], (b, kvh, rep, lk, d)).reshape(b, h, lk, d)
+    # GQA rides the GRID: (batch, kv-head, group, q-block) with the k/v index
+    # maps reading only (bi, ki) — the raw KV is streamed once per kv head and
+    # revisited across the g * nq inner programs, with no repeated-head
+    # broadcast materialized in HBM. The maps must stay division-free: a
+    # `hi // g` map (3-D grid variant) cost ~35% e2e on the vision tower in a
+    # hardware A/B (11.7 vs 17.9 img/s/chip) — Mosaic stopped proving that
+    # consecutive programs revisit the same k/v block and re-DMA'd the
+    # full-length KV per q-block program.
+    kvh = k.shape[1]
+    g = h // kvh
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    grid = (b, h, lq // block_q)
+    grid = (b, kvh, g, lq // block_q)
+    q_map = lambda bi, ki, gi, qi: (bi, ki * g + gi, qi, 0)
+    kv_map = lambda bi, ki, gi, qi: (bi, ki, 0, 0)
     in_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk, d), lambda bi, hi, qi: (bi, hi, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), kv_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, d), kv_map, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if kv_mask is not None:
-        # TPU tiling needs the last two dims (sublane, lane) aligned; broadcast the
-        # [B, Lk] mask to [B, 8, Lk] so the block shape is (1, 8, Lk).
-        mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, lk))
-        in_specs.append(
-            pl.BlockSpec((1, 8, lk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
-        )
-        args.append(mask8)
+        if kv_mask_contiguous:
+            # One contiguous run per row: ship (start, end) scalars via SMEM.
+            m = kv_mask.astype(jnp.int32)
+            first = jnp.argmax(m, axis=1).astype(jnp.int32)
+            count = jnp.sum(m, axis=1)
+            mask_se = jnp.stack([first, first + count], axis=1)  # [B, 2] i32
+            # One whole-array SMEM block (Mosaic requires block dims == array
+            # dims here); the kernel rows-indexes it by program_id(0).
+            in_specs.append(
+                pl.BlockSpec((b, 2), lambda bi, ki, gi, qi: (0, 0), memory_space=pltpu.SMEM)
+            )
+            args.append(mask_se)
+        else:
+            # TPU tiling needs the last two dims (sublane, lane) aligned; broadcast
+            # the [B, Lk] mask to [B, 8, Lk] so the block shape is (1, 8, Lk).
+            mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, lk))
+            in_specs.append(
+                pl.BlockSpec((1, 8, lk), lambda bi, ki, gi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(mask8)
         base_kernel = _flash_kernel
     else:
         base_kernel = _maskless_kernel_adapter
@@ -320,7 +383,7 @@ def flash_attention(
         for table in (rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32)):
             in_specs.append(
                 pl.BlockSpec(
-                    (1, lq, half), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                    (1, lq, half), lambda bi, ki, gi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
                 )
             )
             args.append(table)
@@ -343,18 +406,17 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")
+            dimension_semantics=("parallel", "parallel", "parallel", "parallel")
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq * lk * d,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * h * lq * lk,
         ),
+        interpret=interpret,
     )(*args)
     return out
 

@@ -71,6 +71,71 @@ def test_fused_rope_rejects_cross_attention():
         flash_attention(q, k[:, :, :256], v[:, :, :256], rope_cos=cos, rope_sin=sin)
 
 
+@pytest.mark.parametrize("masked", [True, False])
+def test_gqa_prefill_kernel_matches_reference(masked):
+    """Native-GQA Pallas path (kv head selected by the index map, no broadcast)
+    at the decoder-prefill bucket shape: Lq == Lk == 288 tiles with block 144.
+    """
+    from lmms_owc_tpu.ops.attention import gqa_attention_reference
+
+    rng = np.random.RandomState(7)
+    b, h, kvh, L, d = 2, 8, 2, 288, 64
+    q = jnp.asarray(rng.randn(b, h, L, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, kvh, L, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, kvh, L, d), jnp.bfloat16)
+    # Left-padded masks, as the prefill path produces them. Rows inside the
+    # padding have ZERO valid causal keys — both paths emit garbage there
+    # (kernel: uniform over the causal range; reference: uniform over all keys)
+    # and downstream consumers never read them, so compare valid rows only.
+    starts = [37, 0]
+    if masked:
+        mask_np = np.ones((b, L), np.int32)
+        for i, s in enumerate(starts):
+            mask_np[i, :s] = 0
+        mask = jnp.asarray(mask_np)
+    else:
+        mask = None
+    expected = gqa_attention_reference(q, k, v, causal=True, kv_mask=mask)
+    out = flash_attention(
+        q, k, v, causal=True, kv_mask=mask, kv_mask_contiguous=True,
+        use_pallas=True, interpret=not ON_TPU,
+    )
+    # Early causal rows attend to few keys, so the kernel's bf16 online-softmax
+    # weights (cast before normalization) land ~2 ulps off the reference's
+    # normalize-then-cast on ~0.6% of elements — same semantics-not-precision
+    # contract as test_kernel_matches_reference_causal.
+    tol = 2e-2
+    for i, s in enumerate(starts if masked else [0] * b):
+        np.testing.assert_allclose(
+            np.asarray(out[i, :, s:], np.float32),
+            np.asarray(expected[i, :, s:], np.float32),
+            atol=tol, rtol=tol,
+        )
+
+
+def test_noncontiguous_mask_uses_tensor_path():
+    """Arbitrary (gappy) masks must NOT take the scalar fast path: they ride the
+    lane-axis mask tensor (128-multiple k blocks) and stay exact. Idefics2's 2-D
+    grid padding flattens to exactly this shape (nn/idefics2.py:47-62).
+    """
+    from lmms_owc_tpu.ops.attention import attention_reference
+
+    rng = np.random.RandomState(11)
+    b, h, L, d = 2, 4, 512, 64
+    q = jnp.asarray(rng.randn(b, h, L, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, h, L, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, h, L, d), jnp.bfloat16)
+    mask_np = (rng.rand(b, L) > 0.3).astype(np.int32)  # gappy rows
+    mask_np[:, 0] = 1  # every row keeps at least one valid key
+    mask = jnp.asarray(mask_np)
+    expected = attention_reference(q, k, v, kv_mask=mask)
+    out = flash_attention(q, k, v, kv_mask=mask, use_pallas=True, interpret=not ON_TPU)
+    tol = 2e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(expected, np.float32), atol=tol, rtol=tol
+    )
+
+
 @pytest.mark.parametrize(
     "b,h,kvh,d",
     [
