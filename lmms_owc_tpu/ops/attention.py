@@ -290,12 +290,14 @@ def flash_attention(
             # Dispatch by END-TO-END A/B, not kernel microbenchmarks (isolated
             # timings through the deferred-execution tunnel do not predict e2e).
             # With bf16 dot operands + large blocks (see DEFAULT_BLOCK_* note)
-            # the kernel beats XLA's fused attention from kv=512 up: 24.4-24.8
-            # img/s vs 23.7 on the full pipeline. Tunable via
+            # the kernel beats XLA's fused attention from kv=512 up (r1 A/B:
+            # 24.4-24.8 img/s vs 23.7 e2e); once scalar masks let the 288/384
+            # buckets tile (16-multiple k blocks), 288 beat 512 in both
+            # interleaved r3 pairs (19.55/20.32 vs 18.96/20.14). Tunable via
             # LMMS_OWC_PALLAS_MIN_KV.
             import os
 
-            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "512"))
+            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "288"))
             use_pallas = jax.default_backend() == "tpu" and k.shape[2] >= min_kv
 
     b, h, lq, d = q.shape
