@@ -38,6 +38,7 @@ from lmms_owc_tpu.ops.attention import (
     flash_attention,
     gqa_attention_reference,
     gqa_decode_attention,
+    packed_vision_attention,
 )
 from lmms_owc_tpu.utils import get_logger
 
@@ -442,6 +443,79 @@ def vision_rope_cos_sin(grid_thw: list[tuple[int, int, int]], config: Qwen2VLVis
     return np.concatenate([freqs_h, freqs_w], axis=-1)  # [P, head_dim/2]
 
 
+def _vision_packed_enabled(qkv_params: dict) -> bool:
+    """Packed-qkv vision attention gate, read at TRACE time.
+
+    DEFAULT OFF — measured e2e LOSS on hardware (r3 interleaved A/B, 7B int8
+    W8A8 B=48: packed 18.95 img/s vs unpacked 20.1-20.3 in the same session
+    window). The kernel does eliminate the ~4.5 ms/layer qkv layout copies,
+    but padding head_dim 80 -> 128 inflates the qkv dense output (3840 -> 6144
+    cols) and proj contraction (1280 -> 2048 rows): ~+20% real MXU work on
+    zero columns, which outweighs the copies saved. Kept as an opt-in probe
+    (``LMMS_OWC_VISION_PACKED=1`` on TPU, ``force`` anywhere) because the
+    balance could flip for a head_dim-128 tower (zero padding waste).
+
+    Weight-only int4 keeps the unpacked path regardless (the groupwise nibble
+    layout doesn't re-pad cheaply). If you flip the env after programs are
+    traced, drop the jit caches (``jax.clear_caches()``) like the W8A8 toggle.
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_VISION_PACKED", "")
+    if "w_q4" in qkv_params:
+        return False
+    if mode == "force":
+        return True
+    return mode == "1" and jax.default_backend() == "tpu"
+
+
+def _pad_vision_attn_params(layers: dict, nh: int, hd: int, hp: int) -> dict:
+    """Trace-time re-layout of the stacked vision attention weights for the
+    packed kernel: each head's qkv columns pad hd -> hp (zeros; quant scales
+    pad with ones) so per-head lane offsets are hp-aligned, and the output
+    projection's input rows pad to match. Padding columns produce exact zeros
+    through the attention (zero weight + zero bias), and the zero projection
+    rows consume them exactly, so the math is unchanged. One [D, in, 3*NH*HP]
+    materialization per jitted call (~0.5 ms at 7B shapes) replaces ~4.5 ms of
+    qkv layout copies per LAYER (r3d xplane: copy.41/copy.42/slice_bitcast).
+    """
+    pad = hp - hd
+
+    def pad_cols(a, fill):
+        lead = a.shape[:-1]
+        a = a.reshape(*lead, 3, nh, hd)
+        a = jnp.pad(
+            a, [(0, 0)] * (a.ndim - 1) + [(0, pad)], constant_values=fill
+        )
+        return a.reshape(*lead, 3 * nh * hp)
+
+    def pad_rows(a):
+        D, _, out = a.shape
+        a = a.reshape(D, nh, hd, out)
+        a = jnp.pad(a, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return a.reshape(D, nh * hp, out)
+
+    qkv = dict(layers["qkv"])
+    proj = dict(layers["proj"])
+    if "w_q8" in qkv:
+        qkv["w_q8"] = {
+            "q": pad_cols(qkv["w_q8"]["q"], 0),
+            "scale": pad_cols(qkv["w_q8"]["scale"], 1.0),
+        }
+    else:
+        qkv["w"] = pad_cols(qkv["w"], 0)
+    if qkv.get("b") is not None:
+        qkv["b"] = pad_cols(qkv["b"], 0)
+    if "w_q8" in proj:
+        proj["w_q8"] = {"q": pad_rows(proj["w_q8"]["q"]), "scale": proj["w_q8"]["scale"]}
+    else:
+        proj["w"] = pad_rows(proj["w"])
+    out = dict(layers)
+    out["qkv"] = qkv
+    out["proj"] = proj
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def vision_encode_batch(
     params: dict,
@@ -470,34 +544,58 @@ def vision_encode_batch(
         preferred_element_type=param_dtype,
     )
 
-    cos = jnp.cos(rope_freqs)  # [N, P, hd/2] f32, shared by q and k
-    sin = jnp.sin(rope_freqs)
     n, P, _ = x.shape
     nh, hd = config.num_heads, config.head_dim
+    packed = _vision_packed_enabled(params["layers"]["qkv"])
 
-    def block(x, layer):
-        normed = layer_norm(layer["norm1"], x, eps=1e-6)
-        # NOTE: the middle-dim gather + transpose reads better than lane-axis
-        # slicing here — A/B'd on hardware (14.1 vs 13.1-13.7 img/s/chip e2e);
-        # XLA fuses this layout into the attention consumers.
-        qkv = dense(layer["qkv"], normed).reshape(n, P, 3, nh, hd)
-        # One transpose of the packed tensor, then free leading-axis slices
-        # (vs three gather+transpose fusions; A/B'd r3).
-        qkv_t = qkv.transpose(2, 0, 3, 1, 4)  # [3, N, nh, P, hd]
-        q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
-        # Rope rides the attention kernel's q/k loads (r3 xplane: standalone
-        # rotation + cos/sin staging cost ~4.3 ms of the 23.6 ms layer).
-        attn = flash_attention(
-            q, k, v, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin,
-            kv_mask_contiguous=True,  # [:num_patches] prefix run (models/qwen2_vl)
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(n, P, nh * hd)
-        x = x + dense(layer["proj"], attn)
-        normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
-        x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
-        return x, None
+    if packed:
+        # Packed-qkv path: the attention kernel consumes the qkv projection
+        # output in place (per-head columns padded to 128 lanes at trace time)
+        # and emits the padded layout the row-padded proj consumes — zero
+        # unpack/transpose copies, and rope cos/sin computed in-kernel from
+        # the frequency table.
+        layers_tree = _pad_vision_attn_params(params["layers"], nh, hd, 128)
+        freqs = rope_freqs.astype(jnp.float32)
 
-    x, _ = jax.lax.scan(block, x, params["layers"])
+        def block(x, layer):
+            normed = layer_norm(layer["norm1"], x, eps=1e-6)
+            qkv = dense(layer["qkv"], normed)  # [n, P, 3*nh*128]
+            attn = packed_vision_attention(
+                qkv, nh, hd, kv_mask=patch_mask, freqs=freqs,
+            )
+            x = x + dense(layer["proj"], attn)
+            normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
+            x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
+            return x, None
+
+    else:
+        layers_tree = params["layers"]
+        cos = jnp.cos(rope_freqs)  # [N, P, hd/2] f32, shared by q and k
+        sin = jnp.sin(rope_freqs)
+
+        def block(x, layer):
+            normed = layer_norm(layer["norm1"], x, eps=1e-6)
+            # NOTE: the middle-dim gather + transpose reads better than lane-axis
+            # slicing here — A/B'd on hardware (14.1 vs 13.1-13.7 img/s/chip e2e);
+            # XLA fuses this layout into the attention consumers.
+            qkv = dense(layer["qkv"], normed).reshape(n, P, 3, nh, hd)
+            # One transpose of the packed tensor, then free leading-axis slices
+            # (vs three gather+transpose fusions; A/B'd r3).
+            qkv_t = qkv.transpose(2, 0, 3, 1, 4)  # [3, N, nh, P, hd]
+            q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+            # Rope rides the attention kernel's q/k loads (r3 xplane: standalone
+            # rotation + cos/sin staging cost ~4.3 ms of the 23.6 ms layer).
+            attn = flash_attention(
+                q, k, v, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin,
+                kv_mask_contiguous=True,  # [:num_patches] prefix run (models/qwen2_vl)
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(n, P, nh * hd)
+            x = x + dense(layer["proj"], attn)
+            normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
+            x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
+            return x, None
+
+    x, _ = jax.lax.scan(block, x, layers_tree)
 
     # Patch merger: LN then merge spatial_merge_size^2 neighbors -> MLP.
     merged_dim = config.embed_dim * config.spatial_merge_size**2

@@ -27,6 +27,8 @@ __all__ = [
     "attention_reference",
     "gqa_attention_reference",
     "gqa_decode_attention",
+    "packed_vision_attention",
+    "packed_attention_reference",
 ]
 
 import os as _os
@@ -425,6 +427,249 @@ def flash_attention(
 
 def _maskless_kernel_adapter(q_ref, k_ref, v_ref, o_ref, **kwargs):
     _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, q_offset_blocks=True, **kwargs)
+
+
+def packed_attention_reference(
+    qkv: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    *,
+    kv_mask: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    scale: float | None = None,
+) -> jax.Array:
+    """jnp ground truth for :func:`packed_vision_attention` (packed layout).
+
+    Unpacks ``qkv`` [B, L, 3*NH*HP] (HP = padded head width, lanes >= head_dim
+    zero) into standard [B, NH, L, head_dim] tensors, runs the reference
+    attention, and re-packs the output to [B, L, NH*HP].
+    """
+    b, l, width = qkv.shape
+    hp = width // (3 * num_heads)
+    x = qkv.reshape(b, l, 3, num_heads, hp)
+    q = x[:, :, 0].transpose(0, 2, 1, 3)[..., :head_dim]
+    k = x[:, :, 1].transpose(0, 2, 1, 3)[..., :head_dim]
+    v = x[:, :, 2].transpose(0, 2, 1, 3)[..., :head_dim]
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if freqs is not None:
+        from lmms_owc_tpu.nn.layers import apply_rope
+
+        cos = jnp.cos(freqs.astype(jnp.float32))
+        sin = jnp.sin(freqs.astype(jnp.float32))
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    out = attention_reference(q, k, v, kv_mask=kv_mask, scale=scale)
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, hp - head_dim)))
+    return out.transpose(0, 2, 1, 3).reshape(b, l, num_heads * hp)
+
+
+def _packed_kernel(
+    q_ref, k_ref, v_ref, mask_ref, freqs_ref, o_ref, *, scale: float, block_k: int,
+    head_dim: int,
+):
+    """One (batch, head, q-block) program over the packed [B, L, 3*NH*HP] qkv.
+
+    q/k/v refs are lane-block views of the SAME packed array (the BlockSpec
+    index maps select the role x head lane block), so the qkv projection's
+    output is consumed in place — no [B, L, 3*NH*HD] -> 3x[B, NH, L, HD]
+    layout copies ever exist in HBM (~4.5 ms of 18.3 ms per vision layer at
+    the 7B bench shapes). Lanes >= head_dim carry exact zeros from the padded
+    projection columns, contribute 0 to scores, and come out 0 in the output.
+    Rope cos/sin are computed IN-KERNEL from the frequency table (VPU
+    transcendentals are noise next to the softmax exp), replacing two
+    staged f32 cos/sin operands with one.
+    """
+    block_q = q_ref.shape[1]
+    kv_len = k_ref.shape[1]
+    num_k_blocks = kv_len // block_k
+
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(2)
+    if mask_ref is not None:
+        bi = pl.program_id(0)
+        valid_start, valid_end = mask_ref[bi, 0], mask_ref[bi, 1]
+    half = head_dim // 2
+
+    def rotate(x, fr):
+        # x [rows, HP] (lanes >= head_dim are zero), fr [rows, head_dim/2] f32.
+        cos = jnp.cos(fr)
+        sin = jnp.sin(fr)
+        x1 = x[:, :half].astype(jnp.float32)
+        x2 = x[:, half:head_dim].astype(jnp.float32)
+        rot = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+        return jnp.concatenate([rot.astype(x.dtype), x[:, head_dim:]], axis=-1)
+
+    q = q_ref[0, :, :]
+    if freqs_ref is not None:
+        q = rotate(q, freqs_ref[0, pl.ds(i * block_q, block_q), :])
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(kb * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(kb * block_k, block_k), :]
+        if freqs_ref is not None:
+            k_blk = rotate(k_blk, freqs_ref[0, pl.ds(kb * block_k, block_k), :])
+        scores = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [block_q, block_k] f32
+
+        if mask_ref is not None:
+            k_abs = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            valid = (k_abs >= valid_start) & (k_abs < valid_end)
+            scores = jnp.where(valid, scores, _NEG_INF)
+
+        m_cur = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    hp = q_ref.shape[2]
+    acc0 = jnp.zeros((block_q, hp), dtype=jnp.float32)
+    m0 = jnp.full((block_q, 1), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((block_q, 1), dtype=jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l_final, 1e-30)
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "head_dim", "scale", "block_q", "block_k", "use_pallas",
+        "interpret",
+    ),
+)
+def packed_vision_attention(
+    qkv: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    *,
+    kv_mask: jax.Array | None = None,
+    freqs: jax.Array | None = None,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Non-causal MHA over a PACKED qkv projection output (vision towers).
+
+    Args:
+        qkv: [B, L, 3*NH*HP] — the qkv dense output with each head's columns
+            padded from head_dim to HP (a lane multiple, 128): column
+            (role, head, c) lives at lane role*NH*HP + head*HP + c, padding
+            columns are exact zeros (zero weight columns + zero bias). The
+            kernel's q/k/v operands are three lane-block views of this one
+            array, so no unpack/transpose copies are materialized
+            (`nn/qwen2_vl.py _pad_vision_attn_params` builds the layout).
+        num_heads, head_dim: true head geometry (head_dim 80 for qwen2-vl;
+            the MXU pads the contraction to 128 either way, so the padded
+            lanes cost nothing in the dots).
+        kv_mask: [B, L] validity mask that MUST be one contiguous run per row
+            (vision prefix padding) — reduced to (start, end) SMEM scalars.
+        freqs: [B, L, head_dim/2] f32 rope angle table; cos/sin computed
+            in-kernel (one staged operand instead of two).
+    Returns: [B, L, NH*HP] attention output in packed layout (padding lanes
+        zero), ready for a row-padded output projection.
+    """
+    b, l, width = qkv.shape
+    hp = width // (3 * num_heads)
+    if width != 3 * num_heads * hp or hp % 128 != 0:
+        raise ValueError(f"packed qkv width {width} not 3*{num_heads}*128k")
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if use_pallas is None:
+        if _USE_PALLAS_OVERRIDE is not None:
+            use_pallas = _USE_PALLAS_OVERRIDE
+        else:
+            use_pallas = jax.default_backend() == "tpu"
+    if block_q is None:
+        block_q = max(
+            (x for x in (96, 128, 144, 160, 176, 192, 256, 384, 512) if x <= l and l % x == 0),
+            default=128,
+        )
+    if block_k is None:
+        block_k = max(
+            (x for x in (96, 128, 144, 160, 176, 192, 256, 384, 512, 768, 1024) if x <= l and l % x == 0),
+            default=128,
+        )
+    if not use_pallas or l % block_q != 0 or l % block_k != 0 or l < block_q:
+        return packed_attention_reference(
+            qkv, num_heads, head_dim, kv_mask=kv_mask, freqs=freqs, scale=scale
+        )
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (b, num_heads, l // block_q)
+    nh = num_heads
+    in_specs = [
+        pl.BlockSpec((1, block_q, hp), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l, hp), lambda bi, hi, qi: (bi, 0, nh + hi), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, l, hp), lambda bi, hi, qi: (bi, 0, 2 * nh + hi), memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, qkv, qkv]
+    has_mask = kv_mask is not None
+    if has_mask:
+        m = kv_mask.astype(jnp.int32)
+        first = jnp.argmax(m, axis=1).astype(jnp.int32)
+        count = jnp.sum(m, axis=1)
+        mask_se = jnp.stack([first, first + count], axis=1)  # [B, 2] i32
+        in_specs.append(
+            pl.BlockSpec((b, 2), lambda bi, hi, qi: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(mask_se)
+    has_freqs = freqs is not None
+    if has_freqs:
+        half = head_dim // 2
+        in_specs.append(
+            pl.BlockSpec((1, l, half), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(freqs.astype(jnp.float32))
+
+    def kernel(*refs):
+        # refs: qkv x3, [mask], [freqs], o.
+        q_ref, k_ref, v_ref = refs[:3]
+        o_ref = refs[-1]
+        rest = refs[3:-1]
+        idx = 0
+        mask_ref = rest[idx] if has_mask else None
+        idx += 1 if has_mask else 0
+        freqs_ref = rest[idx] if has_freqs else None
+        _packed_kernel(
+            q_ref, k_ref, v_ref, mask_ref, freqs_ref, o_ref,
+            scale=scale, block_k=block_k, head_dim=head_dim,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, hp), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, num_heads * hp), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * l * l * hp,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize * 2,
+            transcendentals=b * num_heads * l * l,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
 
 
 def _decode_kernel(lidx_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
