@@ -36,6 +36,7 @@ from lmms_owc_tpu.nn.layers import (
 from lmms_owc_tpu.ops.attention import (
     attention_reference,
     flash_attention,
+    fused_qkv_attention,
     gqa_attention_reference,
     gqa_decode_attention,
     packed_vision_attention,
@@ -469,6 +470,25 @@ def _vision_packed_enabled(qkv_params: dict) -> bool:
     return mode == "1" and jax.default_backend() == "tpu"
 
 
+def _vision_fused_qkv_enabled() -> bool:
+    """Combined-heads qkv attention gate, read at TRACE time.
+
+    One [N, 3*nh, P, hd] transpose feeds :func:`fused_qkv_attention` (q/k/v as
+    head-offset views of the same array) instead of three per-role slice
+    materializations. ``LMMS_OWC_VISION_FUSED_QKV``: "0" disables, "force"
+    enables off-TPU (CPU parity tests), default = TPU backend only. Flip the
+    env after tracing -> drop jit caches (``jax.clear_caches()``).
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_VISION_FUSED_QKV", "")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _pad_vision_attn_params(layers: dict, nh: int, hd: int, hp: int) -> dict:
     """Trace-time re-layout of the stacked vision attention weights for the
     packed kernel: each head's qkv columns pad hd -> hp (zeros; quant scales
@@ -563,6 +583,30 @@ def vision_encode_batch(
             attn = packed_vision_attention(
                 qkv, nh, hd, kv_mask=patch_mask, freqs=freqs,
             )
+            x = x + dense(layer["proj"], attn)
+            normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
+            x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
+            return x, None
+
+    elif _vision_fused_qkv_enabled():
+        layers_tree = params["layers"]
+        cos = jnp.cos(rope_freqs)  # [N, P, hd/2] f32, shared by q and k
+        sin = jnp.sin(rope_freqs)
+
+        def block(x, layer):
+            normed = layer_norm(layer["norm1"], x, eps=1e-6)
+            # ONE transpose of the qkv projection output to a combined-heads
+            # [N, 3*nh, P, hd] array; the flash kernel's q/k/v operands are
+            # head-offset BlockSpec views of it, so no per-role slice copies
+            # are materialized (r3d xplane: the three-array form cost ~4.5 ms
+            # of layout copies per layer at the 7B bench shapes).
+            qkvh = dense(layer["qkv"], normed).reshape(n, P, 3 * nh, hd)
+            qkvh = qkvh.transpose(0, 2, 1, 3)
+            attn = fused_qkv_attention(
+                qkvh, nh, nh, kv_mask=patch_mask, rope_cos=cos, rope_sin=sin,
+                kv_mask_contiguous=True,  # [:num_patches] prefix run (models/qwen2_vl)
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(n, P, nh * hd)
             x = x + dense(layer["proj"], attn)
             normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
             x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))

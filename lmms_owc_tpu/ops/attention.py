@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "flash_attention",
+    "fused_qkv_attention",
     "attention_reference",
     "gqa_attention_reference",
     "gqa_decode_attention",
@@ -427,6 +428,167 @@ def flash_attention(
 
 def _maskless_kernel_adapter(q_ref, k_ref, v_ref, o_ref, **kwargs):
     _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, q_offset_blocks=True, **kwargs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_q_heads", "num_kv_heads", "causal", "scale", "block_q", "block_k",
+        "use_pallas", "interpret", "kv_mask_contiguous",
+    ),
+)
+def fused_qkv_attention(
+    qkvh: jax.Array,
+    num_q_heads: int,
+    num_kv_heads: int,
+    *,
+    causal: bool = False,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
+    use_pallas: bool | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
+    kv_mask_contiguous: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Self-attention over a COMBINED-heads qkv array — no q/k/v slice copies.
+
+    ``qkvh``: [B, H + 2*KVH, L, D] with q heads at [0, H), k heads at
+    [H, H+KVH), v heads at [H+KVH, H+2*KVH). This is ONE transpose away from a
+    fused qkv projection's [B, L, (3*H)*D] output — versus the three per-role
+    slice+transpose materializations XLA emits when q/k/v are separate arrays
+    (~4.5 ms of the 18.3 ms vision layer at the 7B bench shapes: r3d xplane
+    copy.41/copy.42/slice_bitcast_fusion). The kernel body is the proven
+    :func:`_flash_kernel` unchanged; q/k/v arrive as three BlockSpec views of
+    the one array whose index maps offset the HEAD axis by constants (the head
+    axis is not lane-tiled, so unlike :func:`packed_vision_attention` there is
+    no head_dim padding and no extra MXU work). Args otherwise match
+    :func:`flash_attention`; returns [B, H, L, D].
+    """
+    b, total_h, l, d = qkvh.shape
+    h, kvh = num_q_heads, num_kv_heads
+    if total_h != h + 2 * kvh or h % kvh != 0:
+        raise ValueError(f"qkvh head axis {total_h} != {h} + 2*{kvh}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        if _USE_PALLAS_OVERRIDE is not None:
+            use_pallas = _USE_PALLAS_OVERRIDE
+        else:
+            import os
+
+            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "288"))
+            use_pallas = jax.default_backend() == "tpu" and l >= min_kv
+
+    if block_q is None:
+        block_q = max(
+            (x for x in (96, 128, 144, 160, 176, 192, 256, 384, 512) if x <= l and l % x == 0),
+            default=128,
+        )
+    if block_k is None:
+        if kv_mask is not None and not kv_mask_contiguous:
+            k_cands = (128, 256, 384, 512, 768, 1024)
+        else:
+            k_cands = (96, 128, 144, 160, 176, 192, 256, 384, 512, 768, 1024)
+        block_k = max((x for x in k_cands if x <= l and l % x == 0), default=128)
+    if not use_pallas or l % block_q != 0 or l % block_k != 0 or l < block_q:
+        # Fallback: slice the roles apart and reuse the reference path.
+        q = qkvh[:, :h]
+        k = qkvh[:, h : h + kvh]
+        v = qkvh[:, h + kvh :]
+        if rope_cos is not None:
+            from lmms_owc_tpu.nn.layers import apply_rope
+
+            q = apply_rope(q, rope_cos, rope_sin)
+            k = apply_rope(k, rope_cos, rope_sin)
+        if kvh != h:
+            return gqa_attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
+        return attention_reference(q, k, v, causal=causal, kv_mask=kv_mask, scale=scale)
+
+    g = h // kvh
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (b, kvh, g, l // block_q)
+    # Same grid/maps as flash_attention, but all three operands view ONE array:
+    # constant head-axis offsets keep the maps affine and division-free, so
+    # Mosaic still proves consecutive (gi, qi) programs revisit the same k/v
+    # block (single DMA per (batch, kv head)).
+    q_map = lambda bi, ki, gi, qi: (bi, ki * g + gi, qi, 0)
+    k_map = lambda bi, ki, gi, qi: (bi, h + ki, 0, 0)
+    v_map = lambda bi, ki, gi, qi: (bi, h + kvh + ki, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, l, d), k_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, l, d), v_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qkvh, qkvh, qkvh]
+    if kv_mask is not None:
+        if kv_mask_contiguous:
+            m = kv_mask.astype(jnp.int32)
+            first = jnp.argmax(m, axis=1).astype(jnp.int32)
+            count = jnp.sum(m, axis=1)
+            mask_se = jnp.stack([first, first + count], axis=1)  # [B, 2] i32
+            in_specs.append(
+                pl.BlockSpec((b, 2), lambda bi, ki, gi, qi: (0, 0), memory_space=pltpu.SMEM)
+            )
+            args.append(mask_se)
+        else:
+            mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, l))
+            in_specs.append(
+                pl.BlockSpec((1, 8, l), lambda bi, ki, gi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+            )
+            args.append(mask8)
+        base_kernel = _flash_kernel
+    else:
+        base_kernel = _maskless_kernel_adapter
+    kernel = functools.partial(
+        base_kernel, scale=scale, causal=causal, block_k=block_k,
+        **({"q_offset_blocks": True} if base_kernel is _flash_kernel else {}),
+    )
+    if rope_cos is not None:
+        half = d // 2
+        for table in (rope_cos.astype(jnp.float32), rope_sin.astype(jnp.float32)):
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, l, half), lambda bi, ki, gi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+                )
+            )
+            args.append(table)
+
+        def kernel_with_rope(*refs):
+            q_ref, k_ref, v_ref = refs[:3]
+            o_ref = refs[-1]
+            rest = refs[3:-1]
+            mask_ref = rest[0] if len(rest) == 3 else None
+            cos_ref, sin_ref = rest[-2], rest[-1]
+            _flash_kernel(
+                q_ref, k_ref, v_ref, mask_ref, o_ref, scale=scale, causal=causal,
+                block_k=block_k, q_offset_blocks=True, cos_ref=cos_ref, sin_ref=sin_ref,
+            )
+
+        kernel = kernel_with_rope
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, block_q, d), q_map, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, l, d), qkvh.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "parallel")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l * l * d,
+            bytes_accessed=qkvh.size * qkvh.dtype.itemsize * 2,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out
 
 
 def packed_attention_reference(
