@@ -25,7 +25,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmms_owc_tpu.nn.layers import apply_rope, dense, gelu, rms_norm
-from lmms_owc_tpu.ops.attention import attention_reference, flash_attention
+from lmms_owc_tpu.ops.attention import (
+    attention_reference,
+    flash_attention,
+    fused_qkv_attention,
+)
 from lmms_owc_tpu.utils import get_logger
 
 log = get_logger(__name__)
@@ -199,15 +203,17 @@ def vision25_encode(
 
         def block(x):
             normed = rms_norm(layer["norm1"], x, eps=1e-6)
-            qkv = dense(layer["qkv"], normed).reshape(tn, 3, nh, hd)
-            q = qkv[:, 0].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-            k = qkv[:, 1].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-            v = qkv[:, 2].reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
-            # Fused-rope dispatch: full-attention layers (kv = wn*s >= 512) hit the
-            # Pallas kernel with in-kernel rotation; window layers (small s) fall
-            # back to pre-rotated reference attention — identical math.
-            attn = flash_attention(
-                q, k, v, kv_mask=valid_mask.reshape(b, l),
+            # Combined-heads form (see qwen2_vl vision / ops.fused_qkv_attention):
+            # one [b, 3*nh, l, hd] transpose; the kernel's q/k/v operands are
+            # head-offset views of it — no per-role slice materializations.
+            # Fused-rope dispatch: full-attention layers (kv = wn*s >= 512) hit
+            # the Pallas kernel with in-kernel rotation (gappy window-padding
+            # mask -> tensor-mask path); window layers (small s) fall back to
+            # pre-rotated reference attention — identical math.
+            qkvh = dense(layer["qkv"], normed).reshape(b, l, 3 * nh, hd)
+            qkvh = qkvh.transpose(0, 2, 1, 3)
+            attn = fused_qkv_attention(
+                qkvh, nh, nh, kv_mask=valid_mask.reshape(b, l),
                 rope_cos=cos.reshape(b, l, -1), rope_sin=sin.reshape(b, l, -1),
             )
             attn = attn.transpose(0, 2, 1, 3).reshape(tn, nh * hd)
