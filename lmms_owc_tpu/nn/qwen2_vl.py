@@ -757,10 +757,73 @@ def mrope_cos_sin(
 # ===================================================================== decoder
 
 
+def _decoder_fused_qkv_enabled(q_params: dict) -> bool:
+    """Combined-qkv decoder PREFILL gate, read at TRACE time.
+
+    DEFAULT OFF — measured e2e LOSS on hardware (r3 interleaved A/B, 7B int8
+    W8A8 B=48: fused 19.41/20.41 vs split 20.65/20.66 img/s). Unlike the
+    vision tower (one fused dense, clean win), the decoder's q/k/v are
+    separate projections, so the fused form must CONCAT the weights per layer
+    inside the scan (~16.5 MB/layer of extra HBM write+read at 7B), and k/v
+    must still materialize for the KV cache — only q's relayout is saved,
+    which doesn't cover the concat cost. Kept as an opt-in probe
+    (``LMMS_OWC_DECODER_FUSED_QKV=1`` on TPU, ``force`` anywhere); a
+    load-time weight merge (no per-call concat) is the round-4 shape if the
+    lead is revisited. int4 keeps the split path regardless.
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_DECODER_FUSED_QKV", "")
+    if "w_q4" in q_params:
+        return False
+    if mode == "force":
+        return True
+    return mode == "1" and jax.default_backend() == "tpu"
+
+
+def _merged_qkv_params(attn: dict) -> dict:
+    """Concat q/k/v projection weights along the output axis -> one dense.
+
+    Runs at trace time inside the prefill program (inside the layer scan): one
+    [D, (nh+2*kvh)*hd] weight concat per layer per call (~0.6 ms/chunk total at
+    7B — noise next to the relayouts it removes). int8 per-output-channel
+    scales and biases concat the same way; bias may be absent (Llama).
+    """
+    parts = [attn["q"], attn["k"], attn["v"]]
+    merged: dict = {}
+    if "w_q8" in attn["q"]:
+        merged["w_q8"] = {
+            "q": jnp.concatenate([p["w_q8"]["q"] for p in parts], axis=-1),
+            "scale": jnp.concatenate([p["w_q8"]["scale"] for p in parts], axis=-1),
+        }
+    else:
+        merged["w"] = jnp.concatenate([p["w"] for p in parts], axis=-1)
+    if attn["q"].get("b") is not None:
+        merged["b"] = jnp.concatenate([p["b"] for p in parts], axis=-1)
+    return merged
+
+
 def _attention_block(layer, x, cos, sin, config, kv_mask, causal, cache=None, cache_pos=None):
     """Shared attention math for prefill (flash) and decode (cache GEMV)."""
     b, l, _ = x.shape
     nh, kvh, hd = config.num_heads, config.num_kv_heads, config.head_dim
+
+    if cache is None and _decoder_fused_qkv_enabled(layer["attn"]["q"]):
+        # Combined-heads prefill: one qkv dense + ONE [b, nh+2*kvh, l, hd]
+        # transpose; the flash kernel's q/k/v operands are head-offset views
+        # (see ops.fused_qkv_attention), and q's rope rides the kernel's block
+        # loads. Only k (rotated) and v must materialize — the cache needs
+        # them — so the q-side relayout (28 of 36 heads at 7B) vanishes.
+        qkvh = dense(_merged_qkv_params(layer["attn"]), x).reshape(b, l, nh + 2 * kvh, hd)
+        qkvh = qkvh.transpose(0, 2, 1, 3)
+        out = fused_qkv_attention(
+            qkvh, nh, kvh, causal=causal, kv_mask=kv_mask, kv_mask_contiguous=True,
+            rope_cos=cos, rope_sin=sin,
+        )
+        k = apply_rope(qkvh[:, nh : nh + kvh], cos, sin)
+        v = qkvh[:, nh + kvh :]
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, nh * hd)
+        return dense(layer["attn"]["o"], out), (k, v)
 
     q = dense(layer["attn"]["q"], x).reshape(b, l, nh, hd).transpose(0, 2, 1, 3)
     k = dense(layer["attn"]["k"], x).reshape(b, l, kvh, hd).transpose(0, 2, 1, 3)

@@ -98,6 +98,29 @@ def test_fused_kernel_causal():
     )
 
 
+def test_fused_kernel_decoder_prefill_shape():
+    """The decoder-prefill combination in one case: GQA + causal + fused rope +
+    contiguous left-padding mask (the exact program the 7B prefill runs)."""
+    qkvh, q, k, v, cos, sin, _ = _setup(H=8, KVH=2, L=288, prefix_valid=(288, 200))
+    # Left padding (decoder style): valid run at the END of the row.
+    mask = np.zeros((2, 288), np.int32)
+    mask[0, :] = 1
+    mask[1, 88:] = 1
+    mask = jnp.asarray(mask)
+    expected = _expected(q, k, v, cos=cos, sin=sin, kv_mask=mask, causal=True)
+    out = fused_qkv_attention(
+        qkvh, 8, 2, causal=True, kv_mask=mask, kv_mask_contiguous=True,
+        rope_cos=cos, rope_sin=sin, use_pallas=True, interpret=not ON_TPU,
+    )
+    # Fully-masked rows (none here) aside, compare only valid queries: padded
+    # query rows see no valid keys in the reference too, so both emit ~uniform
+    # garbage — restrict to rows the decoder actually consumes.
+    o = np.asarray(out, np.float32)
+    e = np.asarray(expected, np.float32)
+    np.testing.assert_allclose(o[0], e[0], atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(o[1, :, 88:], e[1, :, 88:], atol=3e-2, rtol=3e-2)
+
+
 def test_fused_fallback_path():
     """use_pallas=False slices the roles apart: bit-equivalent to the reference."""
     qkvh, q, k, v, cos, sin, mask = _setup()
@@ -117,6 +140,49 @@ def test_fused_head_count_validation():
 
 
 # ------------------------------------------------------------- full tower
+
+
+@pytest.mark.parametrize("attn_bias,quant", [(True, None), (False, None), (True, "int8")])
+def test_decoder_prefill_fused_matches_split(attn_bias, quant, monkeypatch):
+    """Combined-qkv decoder prefill (weight concat + head-offset views + fused
+    rope) vs the split q/k/v path: logits AND the KV cache must match (the
+    cache feeds every decode step). attn_bias=False covers the Llama tree;
+    int8 covers the w_q8 q/scale concat (the flagship serving mode)."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    cfg = qvl.Qwen2VLConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=128, rope_theta=10000.0,
+        mrope_section=(2, 3, 3),
+    )
+    rng = np.random.RandomState(11)
+    params = qvl.init_decoder_params(
+        jax.random.PRNGKey(0), cfg, attn_bias=attn_bias
+    )
+    if quant == "int8":
+        from lmms_owc_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+    B, L = 2, 16
+    embeds = jnp.asarray(rng.randn(B, L, cfg.hidden_size).astype(np.float32) * 0.1, jnp.bfloat16)
+    position_ids = jnp.asarray(
+        np.broadcast_to(np.arange(L, dtype=np.int64), (3, B, L))
+    )
+    mask = np.ones((B, L), np.int32)
+    mask[1, :5] = 0  # left padding
+    mask = jnp.asarray(mask)
+
+    def run(mode):
+        monkeypatch.setenv("LMMS_OWC_DECODER_FUSED_QKV", mode)
+        jax.clear_caches()
+        logits, (ck, cv) = qvl.prefill(params, embeds, position_ids, mask, cfg, cache_len=24)
+        return np.asarray(logits, np.float32), np.asarray(ck, np.float32), np.asarray(cv, np.float32)
+
+    base_logits, base_k, base_v = run("0")
+    fused_logits, fused_k, fused_v = run("force")
+    np.testing.assert_allclose(base_logits, fused_logits, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(base_k, fused_k, atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(base_v, fused_v, atol=2e-2, rtol=2e-2)
 
 
 @pytest.mark.parametrize("quant", [None, "int8"])
