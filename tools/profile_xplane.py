@@ -69,6 +69,42 @@ def aggregate(spaces, merge_digits: bool = True):
     return totals, counts, device_time
 
 
+def busy_idle(spaces) -> list[tuple[str, float, float]]:
+    """Per-TPU-plane (name, wall_s, busy_s): busy = interval-UNION of the XLA
+    Ops line's events (parents nest children, so a plain sum double-counts;
+    async copy spans overlap compute). idle = wall - busy is the device-starved
+    share — host gaps, tunnel RTTs, input waits."""
+    out = []
+    for _, xs in spaces:
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name.lower():
+                continue
+            intervals = []
+            for line in plane.lines:
+                if "XLA Ops" not in line.name and "xla op" not in line.name.lower():
+                    continue
+                for ev in line.events:
+                    start = ev.offset_ps
+                    intervals.append((start, start + ev.duration_ps))
+            if not intervals:
+                continue
+            intervals.sort()
+            busy = 0
+            cur_s, cur_e = intervals[0]
+            for s, e in intervals[1:]:
+                if s > cur_e:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            busy += cur_e - cur_s
+            wall = intervals[-1][1] if False else max(e for _, e in intervals) - min(
+                s for s, _ in intervals
+            )
+            out.append((plane.name, wall / 1e12, busy / 1e12))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
@@ -77,6 +113,12 @@ def main() -> None:
     args = ap.parse_args()
 
     spaces = load_xspace(args.trace_dir)
+    for name, wall, busy in busy_idle(spaces):
+        idle = wall - busy
+        print(
+            f"plane {name}: wall {wall*1e3:.0f} ms, busy {busy*1e3:.0f} ms "
+            f"({busy/wall:.1%}), idle {idle*1e3:.0f} ms ({idle/wall:.1%})"
+        )
     totals, counts, device_time = aggregate(spaces)
     rows = sorted(totals.items(), key=lambda kv: kv[1], reverse=True)
     if args.filter:
