@@ -803,18 +803,65 @@ def _merged_qkv_params(attn: dict) -> dict:
     return merged
 
 
+def merge_decoder_qkv(params: dict) -> dict:
+    """LOAD-TIME q/k/v weight merge: replace ``layers.attn.{q,k,v}`` with one
+    combined ``layers.attn.qkv`` dense of output width (nh + 2*kvh) * hd.
+
+    This is the round-4 shape of the fused-qkv decoder lead: the trace-time
+    concat probe (``_merged_qkv_params`` inside the scan) measured an e2e LOSS
+    because every layer call re-wrote ~16.5 MB of weights; merging ONCE at
+    load time removes that cost entirely, so prefill gets the combined-heads
+    single-transpose layout (q's relayout and rope ride the flash kernel) and
+    decode replaces three projections — two of them lane-starved [D, 512]
+    GEMVs at 7B GQA — with one [D, 4608] matmul and free head-axis slices.
+
+    Works on the STACKED layer tree (leaves carry a leading num_layers axis;
+    the concat axis is -1 either way) for bf16 (``w``) and int8 (``w_q8``
+    {q, scale}) trees; int4 trees are returned unchanged (the int4 kernel
+    dispatches per-projection). Not applied under a TP mesh — the Megatron
+    sharding rules partition q/k/v per-role (a merged GQA axis would split
+    28q+4k+4v unevenly across model shards).
+    """
+    attn = params["layers"]["attn"]
+    if "q" not in attn or "w_q4" in attn["q"]:
+        return params
+    merged_attn = {"qkv": _merged_qkv_params(attn), "o": attn["o"]}
+    layers = {k: v for k, v in params["layers"].items() if k != "attn"}
+    layers["attn"] = merged_attn
+    return {**{k: v for k, v in params.items() if k != "layers"}, "layers": layers}
+
+
+def decoder_qkv_merge_enabled() -> bool:
+    """Gate for the load-time qkv merge (``LMMS_OWC_DECODER_QKV_MERGE``).
+
+    ``force`` enables anywhere (CPU parity tests); ``1`` enables on TPU.
+    Default OFF pending the interleaved hardware A/B.
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_DECODER_QKV_MERGE", "")
+    if mode == "force":
+        return True
+    return mode == "1" and jax.default_backend() == "tpu"
+
+
 def _attention_block(layer, x, cos, sin, config, kv_mask, causal, cache=None, cache_pos=None):
     """Shared attention math for prefill (flash) and decode (cache GEMV)."""
     b, l, _ = x.shape
     nh, kvh, hd = config.num_heads, config.num_kv_heads, config.head_dim
 
-    if cache is None and _decoder_fused_qkv_enabled(layer["attn"]["q"]):
+    merged = layer["attn"].get("qkv")  # load-time merge (merge_decoder_qkv)
+    if cache is None and (
+        merged is not None or _decoder_fused_qkv_enabled(layer["attn"]["q"])
+    ):
         # Combined-heads prefill: one qkv dense + ONE [b, nh+2*kvh, l, hd]
         # transpose; the flash kernel's q/k/v operands are head-offset views
         # (see ops.fused_qkv_attention), and q's rope rides the kernel's block
         # loads. Only k (rotated) and v must materialize — the cache needs
         # them — so the q-side relayout (28 of 36 heads at 7B) vanishes.
-        qkvh = dense(_merged_qkv_params(layer["attn"]), x).reshape(b, l, nh + 2 * kvh, hd)
+        if merged is None:
+            merged = _merged_qkv_params(layer["attn"])  # trace-time concat probe
+        qkvh = dense(merged, x).reshape(b, l, nh + 2 * kvh, hd)
         qkvh = qkvh.transpose(0, 2, 1, 3)
         out = fused_qkv_attention(
             qkvh, nh, kvh, causal=causal, kv_mask=kv_mask, kv_mask_contiguous=True,
@@ -1004,9 +1051,17 @@ def decode_step(
             lambda p: jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False), layers
         )
         h = rms_norm(layer["input_ln"], x, config.rms_norm_eps)
-        q = dense(layer["attn"]["q"], h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
-        k = dense(layer["attn"]["k"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
-        v = dense(layer["attn"]["v"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+        if "qkv" in layer["attn"]:
+            # Load-time merged projection (merge_decoder_qkv): ONE [D, 4608]
+            # matmul instead of q + two lane-starved [D, 512] GEMVs; the role
+            # split is a free head-axis slice at L=1.
+            qkv = dense(layer["attn"]["qkv"], h).reshape(b, 1, nh + 2 * kvh, hd)
+            qkv = qkv.transpose(0, 2, 1, 3)
+            q, k, v = qkv[:, :nh], qkv[:, nh : nh + kvh], qkv[:, nh + kvh :]
+        else:
+            q = dense(layer["attn"]["q"], h).reshape(b, 1, nh, hd).transpose(0, 2, 1, 3)
+            k = dense(layer["attn"]["k"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
+            v = dense(layer["attn"]["v"], h).reshape(b, 1, kvh, hd).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 

@@ -185,6 +185,72 @@ def test_decoder_prefill_fused_matches_split(attn_bias, quant, monkeypatch):
     np.testing.assert_allclose(base_v, fused_v, atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("attn_bias,quant", [(True, None), (False, None), (True, "int8")])
+def test_decoder_qkv_merge_matches_split(attn_bias, quant, monkeypatch):
+    """LOAD-TIME qkv merge (merge_decoder_qkv): prefill logits, KV cache, AND
+    the full greedy generation (decode_step's merged one-matmul branch) must
+    match the split tree. int8 covers the stacked w_q8 q/scale concat."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    cfg = qvl.Qwen2VLConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=128, rope_theta=10000.0,
+        mrope_section=(2, 3, 3),
+    )
+    rng = np.random.RandomState(13)
+    params = qvl.init_decoder_params(jax.random.PRNGKey(1), cfg, attn_bias=attn_bias)
+    if quant == "int8":
+        from lmms_owc_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+    merged = qvl.merge_decoder_qkv(params)
+    assert "qkv" in merged["layers"]["attn"] and "q" not in merged["layers"]["attn"]
+
+    B, L = 2, 16
+    embeds = jnp.asarray(rng.randn(B, L, cfg.hidden_size).astype(np.float32) * 0.1, jnp.bfloat16)
+    position_ids = jnp.asarray(np.broadcast_to(np.arange(L, dtype=np.int64), (3, B, L)))
+    mask = np.ones((B, L), np.int32)
+    mask[1, :5] = 0
+    mask = jnp.asarray(mask)
+    next_pos = jnp.asarray(np.array([L, L - 5], np.int64))
+    eos = jnp.asarray([127], jnp.int32)
+
+    monkeypatch.setenv("LMMS_OWC_DECODER_FUSED_QKV", "0")
+    jax.clear_caches()
+    base_logits, (base_k, base_v) = qvl.prefill(params, embeds, position_ids, mask, cfg, cache_len=24)
+    base_tokens = qvl.greedy_generate(
+        params, embeds, position_ids, mask, next_pos, cfg,
+        max_new_tokens=6, cache_len=24, eos_ids=eos,
+    )
+    m_logits, (m_k, m_v) = qvl.prefill(merged, embeds, position_ids, mask, cfg, cache_len=24)
+    m_tokens = qvl.greedy_generate(
+        merged, embeds, position_ids, mask, next_pos, cfg,
+        max_new_tokens=6, cache_len=24, eos_ids=eos,
+    )
+    np.testing.assert_allclose(
+        np.asarray(base_logits, np.float32), np.asarray(m_logits, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+    np.testing.assert_allclose(np.asarray(base_k, np.float32), np.asarray(m_k, np.float32), atol=2e-2, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(base_v, np.float32), np.asarray(m_v, np.float32), atol=2e-2, rtol=2e-2)
+    np.testing.assert_array_equal(np.asarray(base_tokens), np.asarray(m_tokens))
+
+
+def test_decoder_qkv_merge_skips_int4():
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    cfg = qvl.Qwen2VLConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=128, rope_theta=10000.0,
+        mrope_section=(2, 3, 3),
+    )
+    params = qvl.init_decoder_params(jax.random.PRNGKey(2), cfg)
+    from lmms_owc_tpu.ops.quant import quantize_params_int4
+
+    p4 = quantize_params_int4(params)
+    assert qvl.merge_decoder_qkv(p4) is p4 or "q" in qvl.merge_decoder_qkv(p4)["layers"]["attn"]
+
+
 @pytest.mark.parametrize("quant", [None, "int8"])
 def test_vision_encode_batch_fused_matches_unfused(quant, monkeypatch):
     from lmms_owc_tpu.nn import qwen2_vl as qvl
