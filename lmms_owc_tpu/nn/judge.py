@@ -83,7 +83,12 @@ class JudgeModel:
     def __init__(
         self, params, config, tokenizer, batch_size: int = 64, data_parallel: bool = True
     ) -> None:
-        self.params = params
+        from lmms_owc_tpu.nn.qwen2_vl import maybe_merge_decoder_qkv
+
+        # Judge scoring is decode-dominated (16 new tokens per pair), so the
+        # load-time qkv merge applies here too when enabled (replicates fine
+        # under the data mesh — the merge changes leaf shapes, not sharding).
+        self.params = maybe_merge_decoder_qkv(params)
         self.config = config  # decoder-view Qwen2VLConfig
         self.tokenizer = tokenizer
         self.batch_size = batch_size

@@ -831,6 +831,11 @@ def merge_decoder_qkv(params: dict) -> dict:
     return {**{k: v for k, v in params.items() if k != "layers"}, "layers": layers}
 
 
+def maybe_merge_decoder_qkv(params: dict) -> dict:
+    """Apply :func:`merge_decoder_qkv` when the env gate is on (else identity)."""
+    return merge_decoder_qkv(params) if decoder_qkv_merge_enabled() else params
+
+
 def decoder_qkv_merge_enabled() -> bool:
     """Gate for the load-time qkv merge (``LMMS_OWC_DECODER_QKV_MERGE``).
 

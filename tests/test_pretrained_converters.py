@@ -217,6 +217,23 @@ class TestJudgeFromPretrained:
         assert sd.mesh is None
         assert dp.score_pairs(prompts, None, None) == sd.score_pairs(prompts, None, None)
 
+    def test_qkv_merge_matches_unmerged(self, llama_checkpoint, monkeypatch):
+        """Judge verdicts with the load-time qkv merge forced must be identical
+        to the unmerged tree (the judge is decode-dominated, so this pins
+        decode_step's merged one-matmul branch on the Llama/no-bias tree)."""
+        from lmms_owc_tpu.nn.judge import JudgeModel
+
+        prompts = [f"judge w{i} better a b tie score" for i in range(5)]
+        base = JudgeModel.from_pretrained(
+            str(llama_checkpoint), dtype=jnp.float32, data_parallel=False
+        )
+        monkeypatch.setenv("LMMS_OWC_DECODER_QKV_MERGE", "force")
+        merged = JudgeModel.from_pretrained(
+            str(llama_checkpoint), dtype=jnp.float32, data_parallel=False
+        )
+        assert "qkv" in merged.params["layers"]["attn"]
+        assert base.score_pairs(prompts, None, None) == merged.score_pairs(prompts, None, None)
+
     def test_tokenizer_roundtrip_has_eot(self, llama_checkpoint):
         """The saved tokenizer must resolve <|eot_id|> so the judge's stop set is real."""
         from transformers import AutoTokenizer
