@@ -138,6 +138,32 @@ class Model(abc.ABC):
             self._int8_applied = True
             log.info("quantized linear weights to int%d (weight-only)", quant_bits)
 
+        # Load-time decoder q/k/v merge (LMMS_OWC_DECODER_QKV_MERGE, see
+        # nn.qwen2_vl.merge_decoder_qkv): every family's decoder rides the
+        # shared prefill/decode_step, so the merged single-projection layout
+        # applies uniformly — the decoder tree lives either at the top level
+        # (Qwen2-VL) or under "text" (all other families). Skipped under a TP
+        # mesh (per-role Megatron sharding) and for int4 trees (the int4
+        # kernel dispatches per-projection); a no-op on already-merged trees.
+        if quant_bits != 4 and getattr(self, "params", None) is not None:
+            from lmms_owc_tpu.nn.qwen2_vl import decoder_qkv_merge_enabled, merge_decoder_qkv
+
+            if decoder_qkv_merge_enabled() and getattr(self, "mesh", None) is None:
+                def _is_decoder(tree) -> bool:
+                    return (
+                        isinstance(tree, dict)
+                        and isinstance(tree.get("layers"), dict)
+                        and isinstance(tree["layers"].get("attn"), dict)
+                    )
+
+                if _is_decoder(self.params):
+                    self.params = merge_decoder_qkv(self.params)
+                    log.info("merged decoder q/k/v projections")
+                elif isinstance(self.params, dict) and _is_decoder(self.params.get("text")):
+                    self.params = dict(self.params)
+                    self.params["text"] = merge_decoder_qkv(self.params["text"])
+                    log.info("merged decoder q/k/v projections (text tree)")
+
     # ---------------------------------------------------------------- identity
 
     @property

@@ -285,17 +285,8 @@ class Qwen2VL(Model):
             self._int8_applied = True
             log.info("stream-quantized linear weights to int%d (weight-only)", quant_bits)
 
-        if (
-            qvl.decoder_qkv_merge_enabled()
-            and not self.use_mesh
-            and not self.load_in_4bit
-        ):
-            # Load-time q/k/v merge (one-time on-device concat) — prefill rides
-            # the combined-heads flash views, decode does one [D,(nh+2kvh)*hd]
-            # matmul per layer. Skipped under TP (per-role Megatron sharding).
-            self.params = qvl.merge_decoder_qkv(self.params)
-            log.info("merged decoder q/k/v projections (LMMS_OWC_DECODER_QKV_MERGE)")
-
+        # Load-time q/k/v merge (LMMS_OWC_DECODER_QKV_MERGE) applies in
+        # Model.__init__ after this returns — skipped under the TP mesh below.
         self.mesh = None
         if self.use_mesh:
             from lmms_owc_tpu.parallel import MeshConfig, create_mesh

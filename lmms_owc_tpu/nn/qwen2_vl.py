@@ -831,6 +831,55 @@ def merge_decoder_qkv(params: dict) -> dict:
     return {**{k: v for k, v in params.items() if k != "layers"}, "layers": layers}
 
 
+def kv_cache_int8_enabled() -> bool:
+    """Gate for the int8 KV cache (``LMMS_OWC_KV_INT8``).
+
+    After the weights, the stacked KV cache is the second-largest HBM read of
+    every decode step (~1.1 GB/step at 7B B=48 bucket shapes); storing it int8
+    with per-token/head scales halves that stream and the cache's footprint.
+    ``force`` enables anywhere (CPU parity tests); ``1`` enables on TPU.
+    Default OFF pending the interleaved hardware A/B. Read at trace time —
+    tests toggling it must ``jax.clear_caches()``.
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_KV_INT8", "")
+    if mode == "force":
+        return True
+    return mode == "1" and jax.default_backend() == "tpu"
+
+
+def _quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8: amax over the trailing head_dim axis.
+
+    Returns (q [..., D] int8, scale [...] f32) with x ~= q * scale[..., None].
+    All-zero vectors (cache padding) get scale 1e-6/127 and quantize to zeros.
+    """
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-6) / 127.0
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_kv_cache(
+    ks: jax.Array, vs: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """[L, B, KVH, S, D] bf16 caches -> (k_q, v_q, k_scale, v_scale).
+
+    Scales are stored [L, B, KVH, 8, S] f32 — the value replicated over an
+    8-sublane axis so the decode kernel's per-layer scale block meets the
+    Mosaic (8, 128) tile minimum (same trick as its kv_mask operand), and S
+    lands on the LANE axis where the kernel's live score/softmax rows already
+    are. ~2 x 77 MB at 7B bench shapes: 0.5% of HBM against a halved cache.
+    """
+    kq, sk = _quantize_kv(ks)
+    vq, sv = _quantize_kv(vs)
+    shape = (*sk.shape[:3], 8, sk.shape[3])
+    sk8 = jnp.broadcast_to(sk[:, :, :, None, :], shape)
+    sv8 = jnp.broadcast_to(sv[:, :, :, None, :], shape)
+    return kq, vq, sk8, sv8
+
+
 def maybe_merge_decoder_qkv(params: dict) -> dict:
     """Apply :func:`merge_decoder_qkv` when the env gate is on (else identity)."""
     return merge_decoder_qkv(params) if decoder_qkv_merge_enabled() else params
@@ -1044,14 +1093,18 @@ def decode_step(
     x = embedding(params["embed_tokens"], token_ids)[:, None, :]
     cos, sin = mrope_cos_sin(position_ids, config)
 
-    cache_k, cache_v = cache
+    # 2-tuple: bf16 cache. 4-tuple: int8 cache + [L, B, KVH, 8, S] dequant
+    # scales (kv_cache_int8_enabled / quantize_kv_cache) — halves the
+    # per-step cache read next to the weights.
+    kv_int8 = len(cache) == 4
+    cache_k, cache_v = cache[:2]
     layers = params["layers"]
     b = x.shape[0]
     nh, kvh, hd = config.num_heads, config.num_kv_heads, config.head_dim
     zero = jnp.zeros((), jnp.int32)
 
     def layer_fn(i, carry):
-        x, ck_all, cv_all = carry
+        x, ck_all, cv_all, *scales = carry
         layer = jax.tree_util.tree_map(
             lambda p: jax.lax.dynamic_index_in_dim(p, i, 0, keepdims=False), layers
         )
@@ -1071,39 +1124,62 @@ def decode_step(
         k = apply_rope(k, cos, sin)
 
         # Write just the new token's K/V into the stacked cache (in place).
-        ck_all = jax.lax.dynamic_update_slice(
-            ck_all, k[None].astype(ck_all.dtype), (i, zero, zero, cache_pos, zero)
-        )
-        cv_all = jax.lax.dynamic_update_slice(
-            cv_all, v[None].astype(cv_all.dtype), (i, zero, zero, cache_pos, zero)
-        )
-        # Flash-decode kernel: attends against the layer's block of the STACKED
-        # cache (scalar-prefetched layer index — no per-layer slice copy) with
-        # scores+softmax+PV fused; falls back to dynamic_index_in_dim +
-        # gqa_attention_reference off-TPU.
-        out = gqa_decode_attention(q[:, :, 0, :], ck_all, cv_all, i, kv_mask)
+        if kv_int8:
+            sk_all, sv_all = scales
+            kq, k_sc = _quantize_kv(k)  # k [B, KVH, 1, D] -> scale [B, KVH, 1]
+            vq, v_sc = _quantize_kv(v)
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, kq[None], (i, zero, zero, cache_pos, zero)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, vq[None], (i, zero, zero, cache_pos, zero)
+            )
+            k_sc8 = jnp.broadcast_to(k_sc[None, :, :, None, :], (1, b, kvh, 8, 1))
+            v_sc8 = jnp.broadcast_to(v_sc[None, :, :, None, :], (1, b, kvh, 8, 1))
+            sk_all = jax.lax.dynamic_update_slice(
+                sk_all, k_sc8, (i, zero, zero, zero, cache_pos)
+            )
+            sv_all = jax.lax.dynamic_update_slice(
+                sv_all, v_sc8, (i, zero, zero, zero, cache_pos)
+            )
+            out = gqa_decode_attention(
+                q[:, :, 0, :], ck_all, cv_all, i, kv_mask, sk_all, sv_all
+            )
+            new_scales = (sk_all, sv_all)
+        else:
+            ck_all = jax.lax.dynamic_update_slice(
+                ck_all, k[None].astype(ck_all.dtype), (i, zero, zero, cache_pos, zero)
+            )
+            cv_all = jax.lax.dynamic_update_slice(
+                cv_all, v[None].astype(cv_all.dtype), (i, zero, zero, cache_pos, zero)
+            )
+            # Flash-decode kernel: attends against the layer's block of the STACKED
+            # cache (scalar-prefetched layer index — no per-layer slice copy) with
+            # scores+softmax+PV fused; falls back to dynamic_index_in_dim +
+            # gqa_attention_reference off-TPU.
+            out = gqa_decode_attention(q[:, :, 0, :], ck_all, cv_all, i, kv_mask)
+            new_scales = ()
         out = out.reshape(b, 1, nh * hd)
         x = x + dense(layer["attn"]["o"], out)
         x = x + mlp_swiglu(layer["mlp"], rms_norm(layer["post_ln"], x, config.rms_norm_eps))
-        return x, ck_all, cv_all
+        return (x, ck_all, cv_all, *new_scales)
 
+    carry0 = (x, *cache)
     if _os.environ.get("LMMS_OWC_DECODE_UNROLL", "0") == "1":
         # Unrolled layer loop: static weight/cache indexing. MEASURED SLOWER
         # than the fori form (interleaved A/B, 7B int8 B=48: 18.4/18.9 vs
         # 19.7-20.3 img/s/chip) — the rolled loop's double-buffered weight
         # prefetch schedules better than the unrolled program even though it
         # pays ~1.2 ms/step of dynamic-slice copies. Kept as an opt-in probe.
-        carry = (x, cache_k, cache_v)
+        carry = carry0
         for i in range(config.num_layers):
             carry = layer_fn(i, carry)
-        x, cache_k, cache_v = carry
     else:
-        x, cache_k, cache_v = jax.lax.fori_loop(
-            0, config.num_layers, layer_fn, (x, cache_k, cache_v)
-        )
+        carry = jax.lax.fori_loop(0, config.num_layers, layer_fn, carry0)
+    x, *new_cache = carry
     x = rms_norm(params["final_norm"], x, config.rms_norm_eps)
     logits = _head_logits(params, x[:, 0])
-    return logits, (cache_k, cache_v)
+    return logits, tuple(new_cache)
 
 
 def _sample_token(logits, key, temperature, top_p, do_sample):
@@ -1147,6 +1223,12 @@ def greedy_generate(
     """
     b, l, _ = input_embeds.shape
     logits, cache = prefill(params, input_embeds, position_ids, attention_mask, config, cache_len)
+    if kv_cache_int8_enabled():
+        # int8 cache + per-token scales for the decode loop (the prefill
+        # programs themselves keep bf16 K/V — they are MXU-bound and their
+        # K/V die at the end of the program; only the decode-resident cache
+        # pays HBM rent every step).
+        cache = quantize_kv_cache(*cache)
 
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)

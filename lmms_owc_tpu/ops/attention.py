@@ -834,7 +834,7 @@ def packed_vision_attention(
     return out
 
 
-def _decode_kernel(lidx_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+def _decode_kernel(lidx_ref, q_ref, k_ref, v_ref, mask_ref, *rest, scale: float):
     """One (batch-block, kv-head) program of single-token GQA decode attention.
 
     Block shapes: q [block_b, 1, G, D], k/v [1, block_b, 1, S, D] (the layer
@@ -842,26 +842,48 @@ def _decode_kernel(lidx_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: flo
     in the BlockSpec index map — the cache is never sliced/copied in HBM),
     mask [block_b, 8, S]. The whole kv length fits in VMEM at decode shapes,
     so plain (not online) softmax in f32.
+
+    With an int8 cache (``rest`` = k-scale ref, v-scale ref, out ref; scales
+    [1, block_b, 1, 8, S], value replicated over the 8-sublane axis like the
+    mask), the per-position dequant scales apply where S is already the LANE
+    axis of a live f32 tile — to the scores row after the QK dot and to the
+    softmax row before the PV dot — mathematically identical to dequantizing
+    k/v and never touching the [S, D] tiles' sublane-oriented layout.
     """
     del lidx_ref  # consumed by the index maps
+    if len(rest) == 3:
+        ks_ref, vs_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+        ks_ref = vs_ref = None
     block_b = q_ref.shape[0]
     for bi in range(block_b):
         qt = q_ref[bi, 0]  # [G, D] stored dtype (bf16 dot, f32 accumulate)
         kt = k_ref[0, bi, 0]  # [S, D]
         vt = v_ref[0, bi, 0]  # [S, D]
+        if ks_ref is not None:
+            # s8 values dot exactly in bf16 (|x| <= 127 is representable);
+            # scales fold into the f32 score/softmax rows below.
+            kt = kt.astype(qt.dtype)
+            vt = vt.astype(qt.dtype)
         scores = (
             jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             * scale
         )  # [G, S] f32
+        if ks_ref is not None:
+            scores = scores * ks_ref[0, bi, 0, 0, :][None, :]
         valid = mask_ref[bi, 0, :] != 0
         scores = jnp.where(valid[None, :], scores, _NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         p = jnp.exp(scores - m)
         # Normalize in f32 then cast, matching gqa_attention_reference's
         # softmax(f32).astype(v.dtype) before the PV dot.
-        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vt.dtype)
+        w = p / jnp.sum(p, axis=-1, keepdims=True)
+        if vs_ref is not None:
+            w = w * vs_ref[0, bi, 0, 0, :][None, :]
+        w = w.astype(vt.dtype)
         out = jax.lax.dot_general(
             w, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -875,6 +897,8 @@ def gqa_decode_attention(
     cache_v: jax.Array,
     layer_idx: jax.Array,
     kv_mask: jax.Array,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     *,
     scale: float | None = None,
     use_pallas: bool | None = None,
@@ -894,8 +918,14 @@ def gqa_decode_attention(
     Args:
         q: [B, H, D] current-token queries (consecutive-head GQA grouping).
         cache_k, cache_v: [L, B, KVH, S, D] stacked caches, H % KVH == 0.
+            May be int8 (halves the per-step cache read, the second-largest
+            decode HBM stream after the weights); then k_scale/v_scale are
+            required.
         layer_idx: scalar int32 layer to attend against.
         kv_mask: [B, S], 1 = attend.
+        k_scale, v_scale: [L, B, KVH, 8, S] f32 per-token dequant scales for an
+            int8 cache (value replicated over the 8-sublane axis so the layer
+            block meets the (8, 128) tile minimum, like the mask).
     Returns: [B, H, D] in q.dtype.
     """
     b, h, d = q.shape
@@ -917,6 +947,11 @@ def gqa_decode_attention(
     if not use_pallas:
         ck = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0, keepdims=False)
         cv = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0, keepdims=False)
+        if k_scale is not None:
+            sk = jax.lax.dynamic_index_in_dim(k_scale, layer_idx, 0, keepdims=False)
+            sv = jax.lax.dynamic_index_in_dim(v_scale, layer_idx, 0, keepdims=False)
+            ck = (ck.astype(jnp.float32) * sk[:, :, 0, :, None]).astype(q.dtype)
+            cv = (cv.astype(jnp.float32) * sv[:, :, 0, :, None]).astype(q.dtype)
         out = gqa_attention_reference(
             q[:, :, None, :], ck, cv, kv_mask=kv_mask, scale=scale
         )
@@ -931,19 +966,29 @@ def gqa_decode_attention(
     mask8 = jnp.broadcast_to(kv_mask.astype(jnp.int32)[:, None, :], (b, 8, s))
     lidx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
+    in_specs = [
+        pl.BlockSpec((block_b, 1, g, d), lambda bi, hi, lref: (bi, hi, 0, 0)),
+        pl.BlockSpec(
+            (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
+        ),
+        pl.BlockSpec((block_b, 8, s), lambda bi, hi, lref: (bi, 0, 0)),
+    ]
+    args = [qg, cache_k, cache_v, mask8]
+    scale_bytes = 0
+    if k_scale is not None:
+        scale_spec = pl.BlockSpec(
+            (1, block_b, 1, 8, s), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
+        )
+        in_specs += [scale_spec, scale_spec]
+        args += [k_scale, v_scale]
+        scale_bytes = 2 * b * kvh * 8 * s * k_scale.dtype.itemsize
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b // block_b, kvh),
-        in_specs=[
-            pl.BlockSpec((block_b, 1, g, d), lambda bi, hi, lref: (bi, hi, 0, 0)),
-            pl.BlockSpec(
-                (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, block_b, 1, s, d), lambda bi, hi, lref: (lref[0], bi, hi, 0, 0)
-            ),
-            pl.BlockSpec((block_b, 8, s), lambda bi, hi, lref: (bi, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_b, 1, g, d), lambda bi, hi, lref: (bi, hi, 0, 0)),
     )
     out = pl.pallas_call(
@@ -956,9 +1001,10 @@ def gqa_decode_attention(
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * s * d,
             bytes_accessed=2 * b * kvh * s * d * cache_k.dtype.itemsize
-            + 2 * b * h * d * q.dtype.itemsize,
+            + 2 * b * h * d * q.dtype.itemsize
+            + scale_bytes,
             transcendentals=b * h * s,
         ),
         interpret=interpret,
-    )(lidx, qg, cache_k, cache_v, mask8)
+    )(lidx, *args)
     return out.reshape(b, h, d)

@@ -320,3 +320,45 @@ def test_from_pretrained_int8_host_stream(checkpoint_dir):
                       load_in_8bit=True)
     out = _drive(model)
     assert len(out) == 2 and all(isinstance(o, str) for o in out)
+
+
+@pytest.mark.parametrize("checkpoint_dir", sorted(FAMILIES), indirect=True)
+def test_from_pretrained_qkv_merge_matches(checkpoint_dir, monkeypatch):
+    """Every family's decoder rides the shared prefill/decode_step, so the
+    load-time qkv merge (Model.__init__ hook) must be output-identical to the
+    split tree through the real generate_until path."""
+    import jax
+
+    from lmms_owc_tpu.models import get_model
+
+    family, path = checkpoint_dir
+    monkeypatch.delenv("LMMS_OWC_DECODER_QKV_MERGE", raising=False)
+    jax.clear_caches()
+    base = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
+    monkeypatch.setenv("LMMS_OWC_DECODER_QKV_MERGE", "force")
+    jax.clear_caches()
+    model = get_model(family, pretrained=str(path), batch_size=2, dtype="float32")
+    text_tree = model.params["text"] if "text" in model.params else model.params
+    assert "qkv" in text_tree["layers"]["attn"]
+    assert _drive(model) == base
+
+
+@pytest.mark.parametrize(
+    "checkpoint_dir", ["qwen2-vl-tiny", "llava-tiny", "phi3v-tiny"], indirect=True
+)
+def test_from_pretrained_kv_int8_matches(checkpoint_dir, monkeypatch):
+    """int8 KV cache (LMMS_OWC_KV_INT8) through the real generate_until path:
+    identical outputs on representative families (GQA qwen, MHA llava/vicuna,
+    no-bias phi3)."""
+    import jax
+
+    from lmms_owc_tpu.models import get_model
+
+    family, path = checkpoint_dir
+    monkeypatch.delenv("LMMS_OWC_KV_INT8", raising=False)
+    jax.clear_caches()
+    base = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
+    monkeypatch.setenv("LMMS_OWC_KV_INT8", "force")
+    jax.clear_caches()
+    out = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
+    assert out == base

@@ -171,3 +171,80 @@ def test_decode_kernel_matches_reference(b, h, kvh, d):
             np.asarray(out, np.float32), np.asarray(expected, np.float32),
             atol=tol, rtol=tol,
         )
+
+
+@pytest.mark.parametrize("b,h,kvh,d", [(4, 28, 4, 128), (1, 24, 8, 128)])
+def test_decode_kernel_int8_cache_matches_dequant(b, h, kvh, d):
+    """int8-cache decode (per-token scales applied to the score/softmax rows in
+    the kernel) vs attending over the explicitly dequantized bf16 cache. Both
+    kernel (interpret on CPU / compiled on TPU) and the non-pallas fallback."""
+    from lmms_owc_tpu.nn.qwen2_vl import quantize_kv_cache
+
+    rng = np.random.RandomState(5)
+    num_layers, s = 2, 64
+    q = jnp.asarray(rng.randn(b, h, d), jnp.bfloat16)
+    ck = jnp.asarray(rng.randn(num_layers, b, kvh, s, d), jnp.bfloat16)
+    cv = jnp.asarray(rng.randn(num_layers, b, kvh, s, d), jnp.bfloat16)
+    mask = (rng.rand(b, s) > 0.3).astype(np.int32)
+    mask[0] = 1
+    mask = jnp.asarray(mask)
+
+    kq, vq, sk, sv = quantize_kv_cache(ck, cv)
+    assert kq.dtype == jnp.int8 and sk.shape == (num_layers, b, kvh, 8, s)
+    # Dequantized bf16 caches as ground truth for the SAME quantized values.
+    ck_dq = (kq.astype(jnp.float32) * sk[:, :, :, 0, :, None]).astype(jnp.bfloat16)
+    cv_dq = (vq.astype(jnp.float32) * sv[:, :, :, 0, :, None]).astype(jnp.bfloat16)
+
+    for layer in range(num_layers):
+        lidx = jnp.asarray(layer, jnp.int32)
+        expected = gqa_decode_attention(q, ck_dq, cv_dq, lidx, mask, use_pallas=False)
+        fallback = gqa_decode_attention(q, kq, vq, lidx, mask, sk, sv, use_pallas=False)
+        kernel = gqa_decode_attention(
+            q, kq, vq, lidx, mask, sk, sv, use_pallas=True, interpret=not ON_TPU
+        )
+        np.testing.assert_allclose(
+            np.asarray(fallback, np.float32), np.asarray(expected, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(kernel, np.float32), np.asarray(expected, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_kv_int8_generate_matches_bf16(monkeypatch):
+    """greedy_generate with LMMS_OWC_KV_INT8=force: identical tokens to the
+    bf16 cache on a seeded tiny decoder (pins prefill-cache quantization,
+    the decode-step requantizing writes, and the scale plumbing end-to-end)."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    cfg = qvl.Qwen2VLConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, vocab_size=128, rope_theta=10000.0,
+        mrope_section=(2, 3, 3),
+    )
+    rng = np.random.RandomState(17)
+    params = qvl.init_decoder_params(jax.random.PRNGKey(3), cfg)
+    B, L = 2, 16
+    embeds = jnp.asarray(rng.randn(B, L, cfg.hidden_size).astype(np.float32) * 0.1, jnp.bfloat16)
+    position_ids = jnp.asarray(np.broadcast_to(np.arange(L, dtype=np.int64), (3, B, L)))
+    mask = np.ones((B, L), np.int32)
+    mask[1, :5] = 0
+    mask = jnp.asarray(mask)
+    next_pos = jnp.asarray(np.array([L, L - 5], np.int64))
+    eos = jnp.asarray([127], jnp.int32)
+
+    def gen():
+        return np.asarray(qvl.greedy_generate(
+            params, embeds, position_ids, mask, next_pos, cfg,
+            max_new_tokens=8, cache_len=32, eos_ids=eos,
+        ))
+
+    monkeypatch.delenv("LMMS_OWC_KV_INT8", raising=False)
+    jax.clear_caches()
+    base = gen()
+    monkeypatch.setenv("LMMS_OWC_KV_INT8", "force")
+    jax.clear_caches()
+    int8 = gen()
+    assert not np.all(base == base[0, 0])  # non-trivial generation
+    np.testing.assert_array_equal(base, int8)
