@@ -285,6 +285,20 @@ class Qwen2VL(Model):
             self._int8_applied = True
             log.info("stream-quantized linear weights to int%d (weight-only)", quant_bits)
 
+        if (
+            qvl._vision_fm_enabled()
+            and not self.is_v25
+            and not self.use_mesh
+            and "vision" in self.params
+        ):
+            # Feature-major vision tower (LMMS_OWC_VISION_FM): weights
+            # pre-transposed once so activations stay [N, C, P] end to end
+            # (nn.qwen2_vl.vision_params_to_fm). 2.5-VL keeps token-major
+            # (its window-attention layers use pair masks the fm kernel
+            # doesn't take); skipped under TP (sharding rules are per-layout).
+            self.params["vision"] = qvl.vision_params_to_fm(self.params["vision"])
+            log.info("vision tower weights transposed to feature-major")
+
         # Load-time q/k/v merge (LMMS_OWC_DECODER_QKV_MERGE) applies in
         # Model.__init__ after this returns — skipped under the TP mesh below.
         self.mesh = None

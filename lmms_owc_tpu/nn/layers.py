@@ -224,3 +224,48 @@ def multi_head_attention(
     out = flash_attention(q, k, v, causal=causal, kv_mask=kv_mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, l, -1)
     return dense(params["o"], out)
+
+
+# ------------------------------------------------------------ feature-major
+
+def dense_fm(params: dict, x: jax.Array) -> jax.Array:
+    """Feature-major dense: x [N, C_in, P] -> [N, C_out, P].
+
+    Weights are stored PRE-TRANSPOSED ([C_out, C_in], see
+    nn.qwen2_vl.vision_params_to_fm) so the channel axis stays on sublanes and
+    the token axis on lanes throughout the feature-major vision tower — the
+    layout that lets the attention kernel view the qkv projection output
+    in place (ops.fused_qkv_attention_fm) with no per-layer transpose.
+    Supports the same bf16 / int8 / W8A8 forms as :func:`dense`.
+    """
+    if "w_q8" in params:
+        qp = params["w_q8"]  # q [C_out, C_in] s8, scale [C_out]
+        if _INT8_ACTIVATIONS:
+            xf = x.astype(jnp.float32)
+            sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6) / 127.0
+            xq = jnp.round(xf / sx).astype(jnp.int8)
+            acc = jnp.einsum(
+                "oc,ncp->nop", qp["q"], xq, preferred_element_type=jnp.int32
+            )
+            out = (acc.astype(jnp.float32) * sx * qp["scale"][:, None]).astype(x.dtype)
+        else:
+            out = jnp.einsum(
+                "oc,ncp->nop", qp["q"].astype(x.dtype), x, preferred_element_type=x.dtype
+            )
+            out = out * qp["scale"][:, None].astype(x.dtype)
+    else:
+        out = jnp.einsum(
+            "oc,ncp->nop", params["w"], x, preferred_element_type=x.dtype
+        )
+    if "b" in params and params["b"] is not None:
+        out = out + params["b"][:, None]
+    return out
+
+
+def layer_norm_fm(params: dict, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """LayerNorm over the CHANNEL (sublane) axis of feature-major [N, C, P]."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (normed * params["scale"][:, None] + params["bias"][:, None]).astype(x.dtype)

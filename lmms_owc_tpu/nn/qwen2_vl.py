@@ -27,9 +27,11 @@ import numpy as np
 from lmms_owc_tpu.nn.layers import (
     apply_rope,
     dense,
+    dense_fm,
     embedding,
     gelu,
     layer_norm,
+    layer_norm_fm,
     mlp_swiglu,
     rms_norm,
 )
@@ -37,6 +39,7 @@ from lmms_owc_tpu.ops.attention import (
     attention_reference,
     flash_attention,
     fused_qkv_attention,
+    fused_qkv_attention_fm,
     gqa_attention_reference,
     gqa_decode_attention,
     packed_vision_attention,
@@ -470,6 +473,52 @@ def _vision_packed_enabled(qkv_params: dict) -> bool:
     return mode == "1" and jax.default_backend() == "tpu"
 
 
+def _vision_fm_enabled() -> bool:
+    """Feature-major vision tower gate (``LMMS_OWC_VISION_FM``), TRACE time.
+
+    Activations stay [N, C, P] (channels on sublanes, tokens on lanes) through
+    the whole tower, with weights pre-transposed at load
+    (:func:`vision_params_to_fm`) — so the qkv projection output is consumed
+    by :func:`ops.fused_qkv_attention_fm` IN PLACE (head offsets are 8-aligned
+    SUBLANE offsets) and the per-layer 2-pass token-major transpose
+    (r3e xplane copy.41 + copy.42, ~2.8 ms/layer at 7B bench shapes)
+    disappears. ``force`` enables anywhere; ``1`` on TPU. Default OFF pending
+    the hardware A/B. Mutually exclusive with LMMS_OWC_VISION_PACKED.
+    """
+    import os
+
+    mode = os.environ.get("LMMS_OWC_VISION_FM", "")
+    if mode == "force":
+        return True
+    return mode == "1" and jax.default_backend() == "tpu"
+
+
+def vision_params_to_fm(vision: dict) -> dict:
+    """Pre-transpose the vision tower's dense weights to feature-major
+    [C_out, C_in] (stacked layer leaves keep their leading depth axis). The
+    merger stays token-major — the tower exit transposes once per chunk
+    instead of twice per layer. int8 per-output-channel scales are unchanged
+    (they apply along the fm SUBLANE axis, ``layers.dense_fm``)."""
+
+    def t(dense_p: dict) -> dict:
+        out = dict(dense_p)
+        if "w" in out:
+            out["w"] = jnp.swapaxes(out["w"], -1, -2)
+        if "w_q8" in out:
+            q8 = dict(out["w_q8"])
+            q8["q"] = jnp.swapaxes(q8["q"], -1, -2)
+            out["w_q8"] = q8
+        return out
+
+    layers = dict(vision["layers"])
+    for key in ("qkv", "proj", "fc1", "fc2"):
+        layers[key] = t(layers[key])
+    new = dict(vision)
+    new["layers"] = layers
+    new["patch_embed"] = t(vision["patch_embed"])
+    return new
+
+
 def _vision_fused_qkv_enabled() -> bool:
     """Combined-heads qkv attention gate, read at TRACE time.
 
@@ -559,14 +608,25 @@ def vision_encode_batch(
     """
     act = _VISION_ACTS[config.hidden_act]
     param_dtype = params["patch_embed"]["w"].dtype
-    x = jnp.einsum(
-        "npd,de->npe", patches.astype(param_dtype), params["patch_embed"]["w"],
-        preferred_element_type=param_dtype,
-    )
-
-    n, P, _ = x.shape
+    fm = _vision_fm_enabled()
+    if fm:
+        # Feature-major tower: params were pre-transposed at load
+        # (vision_params_to_fm), so patch_embed's w is [embed_dim, patch_dim]
+        # and the embed lands [N, C, P] directly — XLA folds the patches
+        # transpose into this one dot.
+        x = jnp.einsum(
+            "ed,npd->nep", params["patch_embed"]["w"], patches.astype(param_dtype),
+            preferred_element_type=param_dtype,
+        )
+        n, _, P = x.shape
+    else:
+        x = jnp.einsum(
+            "npd,de->npe", patches.astype(param_dtype), params["patch_embed"]["w"],
+            preferred_element_type=param_dtype,
+        )
+        n, P, _ = x.shape
     nh, hd = config.num_heads, config.head_dim
-    packed = _vision_packed_enabled(params["layers"]["qkv"])
+    packed = not fm and _vision_packed_enabled(params["layers"]["qkv"])
 
     if packed:
         # Packed-qkv path: the attention kernel consumes the qkv projection
@@ -586,6 +646,27 @@ def vision_encode_batch(
             x = x + dense(layer["proj"], attn)
             normed2 = layer_norm(layer["norm2"], x, eps=1e-6)
             x = x + dense(layer["fc2"], act(dense(layer["fc1"], normed2)))
+            return x, None
+
+    elif fm:
+        layers_tree = params["layers"]
+        freqs_fm = jnp.swapaxes(rope_freqs, 1, 2).astype(jnp.float32)  # [N, hd/2, P]
+        cos_fm = jnp.cos(freqs_fm)
+        sin_fm = jnp.sin(freqs_fm)
+
+        def block(x, layer):  # x [N, C, P]
+            normed = layer_norm_fm(layer["norm1"], x, eps=1e-6)
+            # qkv dense output consumed IN PLACE: the kernel's q/k/v operands
+            # are sublane-offset views of this [N, 3*nh*hd, P] array, rope
+            # rides the kernel's block loads, and the attention output stays
+            # feature-major for the proj — no layout copies anywhere.
+            qkv = dense_fm(layer["qkv"], normed)
+            attn = fused_qkv_attention_fm(
+                qkv, nh, hd, kv_mask=patch_mask, rope_cos=cos_fm, rope_sin=sin_fm,
+            )
+            x = x + dense_fm(layer["proj"], attn)
+            normed2 = layer_norm_fm(layer["norm2"], x, eps=1e-6)
+            x = x + dense_fm(layer["fc2"], act(dense_fm(layer["fc1"], normed2)))
             return x, None
 
     elif _vision_fused_qkv_enabled():
@@ -640,6 +721,10 @@ def vision_encode_batch(
             return x, None
 
     x, _ = jax.lax.scan(block, x, layers_tree)
+    if fm:
+        # ONE tower-exit transpose back to token-major for the merger — vs the
+        # token-major tower's two relayout passes per layer.
+        x = jnp.swapaxes(x, 1, 2)
 
     # Patch merger: LN then merge spatial_merge_size^2 neighbors -> MLP.
     merged_dim = config.embed_dim * config.spatial_merge_size**2

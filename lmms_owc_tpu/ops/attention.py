@@ -25,6 +25,7 @@ import jax.numpy as jnp
 __all__ = [
     "flash_attention",
     "fused_qkv_attention",
+    "fused_qkv_attention_fm",
     "attention_reference",
     "gqa_attention_reference",
     "gqa_decode_attention",
@@ -1008,3 +1009,240 @@ def gqa_decode_attention(
         interpret=interpret,
     )(lidx, *args)
     return out.reshape(b, h, d)
+
+
+def _rope_rotate_fm(x, cos, sin):
+    """HF half-split rope on a FEATURE-MAJOR [D, cols] tile (head_dim on the
+    SUBLANE axis): static sublane-half slices, rotation in f32."""
+    half = x.shape[0] // 2
+    x1 = x[:half, :].astype(jnp.float32)
+    x2 = x[half:, :].astype(jnp.float32)
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=0
+    ).astype(x.dtype)
+
+
+def _flash_kernel_fm(
+    mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int,
+    cos_ref=None, sin_ref=None,
+):
+    """One (batch, head, q-block) program of FEATURE-MAJOR flash attention.
+
+    Operand tiles carry head_dim on SUBLANES and sequence on LANES — q
+    [1, D, block_q], k/v [1, D, L] — so the caller never transposes the qkv
+    projection's [N, 3*H*D, L] feature-major output into [N, H, L, D] tiles
+    (the token-major tower pays a 2-pass XLA transpose per layer for that,
+    ~2.8 ms/layer at the 7B bench shapes: r3e xplane copy.41/copy.42).
+
+    Score orientation is [block_k, block_q] (k on sublanes): softmax reduces
+    over SUBLANES, so the online (m, l) state is [1, block_q] — lane-aligned
+    with the [D, block_q] accumulator, and both dots are plain MXU forms:
+    scores = dot(k_blk^T contracted on D) and acc += v_blk @ p.
+
+    ``mask_ref`` is the optional [B, 2] SMEM (start, end) table of each row's
+    contiguous valid run (None = no mask).
+    """
+    head_dim = q_ref.shape[1]
+    block_q = q_ref.shape[2]
+    kv_len = k_ref.shape[2]
+    num_k_blocks = kv_len // block_k
+
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(2)
+    if mask_ref is not None:
+        bi = pl.program_id(0)
+        valid_start, valid_end = mask_ref[bi, 0], mask_ref[bi, 1]
+
+    q = q_ref[0, :, :]  # [D, block_q]
+    if cos_ref is not None:
+        q = _rope_rotate_fm(
+            q,
+            cos_ref[0, :, pl.ds(i * block_q, block_q)],
+            sin_ref[0, :, pl.ds(i * block_q, block_q)],
+        )
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, :, pl.ds(kb * block_k, block_k)]  # [D, block_k]
+        v_blk = v_ref[0, :, pl.ds(kb * block_k, block_k)]
+        if cos_ref is not None:
+            k_blk = _rope_rotate_fm(
+                k_blk,
+                cos_ref[0, :, pl.ds(kb * block_k, block_k)],
+                sin_ref[0, :, pl.ds(kb * block_k, block_k)],
+            )
+        # [block_k, block_q] f32: contraction over head_dim (sublanes of both).
+        scores = jax.lax.dot_general(
+            k_blk, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if mask_ref is not None:
+            k_abs = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, block_q), 0
+            )
+            valid = (k_abs >= valid_start) & (k_abs < valid_end)
+            scores = jnp.where(valid, scores, _NEG_INF)
+
+        m_cur = jnp.max(scores, axis=0, keepdims=True)  # [1, block_q]
+        m_new = jnp.maximum(m_prev, m_cur)
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=0, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, block_q]
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((head_dim, block_q), dtype=jnp.float32)
+    m0 = jnp.full((1, block_q), _NEG_INF, dtype=jnp.float32)
+    l0 = jnp.zeros((1, block_q), dtype=jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    out = acc / jnp.maximum(l_final, 1e-30)
+    o_ref[0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads", "head_dim", "scale", "block_q", "block_k", "use_pallas",
+        "interpret",
+    ),
+)
+def fused_qkv_attention_fm(
+    qkv_fm: jax.Array,
+    num_heads: int,
+    head_dim: int,
+    *,
+    kv_mask: jax.Array | None = None,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    use_pallas: bool | None = None,
+    rope_cos: jax.Array | None = None,
+    rope_sin: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Feature-major self-attention over a combined qkv projection output.
+
+    ``qkv_fm``: [B, 3*H*D, L] — the UNTRANSPOSED output of a feature-major qkv
+    dense (channels ordered role-major: q heads' rows at [0, H*D), k at
+    [H*D, 2*H*D), v at [2*H*D, 3*H*D)). The kernel's q/k/v operands are
+    sublane-offset BlockSpec views (blocks of D=head_dim rows — D is a
+    multiple of 8, so the 80-row head offsets are legal sublane tiles, unlike
+    the 128-granular LANE offsets that sank packed_vision_attention).
+
+    ``kv_mask``: optional [B, L] with ONE contiguous valid run per row (the
+    vision towers' [:num_patches] prefix), shipped as SMEM (start, end).
+    ``rope_cos``/``rope_sin``: optional FEATURE-MAJOR [B or 1, D/2, L] f32.
+    MHA only (vision towers). Returns [B, H*D, L].
+    """
+    b, total_c, l = qkv_fm.shape
+    h, d = num_heads, head_dim
+    if total_c != 3 * h * d:
+        raise ValueError(f"qkv_fm channels {total_c} != 3*{h}*{d}")
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if use_pallas is None:
+        if _USE_PALLAS_OVERRIDE is not None:
+            use_pallas = _USE_PALLAS_OVERRIDE
+        else:
+            import os
+
+            min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "288"))
+            use_pallas = jax.default_backend() == "tpu" and l >= min_kv
+    if block_q is None:
+        block_q = max(
+            (x for x in (128, 256, 512) if x <= l and l % x == 0), default=128
+        )
+    if block_k is None:
+        block_k = max(
+            (x for x in (128, 256, 512, 1024) if x <= l and l % x == 0), default=128
+        )
+    if not use_pallas or l % block_q != 0 or l % block_k != 0:
+        # Fallback: transpose to token-major and reuse the reference path.
+        qkv = qkv_fm.reshape(b, 3 * h, d, l).transpose(0, 1, 3, 2)
+        q, k, v = qkv[:, :h], qkv[:, h : 2 * h], qkv[:, 2 * h :]
+        if rope_cos is not None:
+            from lmms_owc_tpu.nn.layers import apply_rope
+
+            cos_tm = jnp.swapaxes(rope_cos, -1, -2)  # [B, L, D/2]
+            sin_tm = jnp.swapaxes(rope_sin, -1, -2)
+            q = apply_rope(q, cos_tm, sin_tm)
+            k = apply_rope(k, cos_tm, sin_tm)
+        out = attention_reference(q, k, v, kv_mask=kv_mask, scale=scale)
+        return out.transpose(0, 1, 3, 2).reshape(b, h * d, l)
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (b, h, l // block_q)
+    # Head offsets are block indices along the CHANNEL axis (block = d rows):
+    # constant addition only, keeping Mosaic's revisit detection intact.
+    q_map = lambda bi, hi, qi, *_: (bi, hi, qi)
+    k_map = lambda bi, hi, qi, *_: (bi, h + hi, 0)
+    v_map = lambda bi, hi, qi, *_: (bi, 2 * h + hi, 0)
+    in_specs = [
+        pl.BlockSpec((1, d, block_q), q_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, l), k_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, l), v_map, memory_space=pltpu.VMEM),
+    ]
+    args = [qkv_fm, qkv_fm, qkv_fm]
+
+    num_scalar = 0
+    scalar_args: list = []
+    if kv_mask is not None:
+        m = kv_mask.astype(jnp.int32)
+        first = jnp.argmax(m, axis=1).astype(jnp.int32)
+        count = jnp.sum(m, axis=1)
+        mask_se = jnp.stack([first, first + count], axis=1)  # [B, 2] i32
+        num_scalar = 1
+        scalar_args = [mask_se]
+
+    if rope_cos is not None:
+        cos = jnp.broadcast_to(rope_cos.astype(jnp.float32), (b, d // 2, l))
+        sin = jnp.broadcast_to(rope_sin.astype(jnp.float32), (b, d // 2, l))
+        rope_spec = pl.BlockSpec(
+            (1, d // 2, l),
+            (lambda bi, hi, qi, *_: (bi, 0, 0)),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs += [rope_spec, rope_spec]
+        args += [cos, sin]
+
+    base = functools.partial(_flash_kernel_fm, scale=scale, block_k=block_k)
+    has_rope = rope_cos is not None
+    if num_scalar and has_rope:
+        def kernel(mref, qr, kr, vr, cr, sr, orf):
+            base(mref, qr, kr, vr, orf, cos_ref=cr, sin_ref=sr)
+    elif num_scalar:
+        def kernel(mref, qr, kr, vr, orf):
+            base(mref, qr, kr, vr, orf)
+    elif has_rope:
+        def kernel(qr, kr, vr, cr, sr, orf):
+            base(None, qr, kr, vr, orf, cos_ref=cr, sin_ref=sr)
+    else:
+        def kernel(qr, kr, vr, orf):
+            base(None, qr, kr, vr, orf)
+    out_spec = pl.BlockSpec(
+        (1, d, block_q), lambda bi, hi, qi, *_: (bi, hi, qi)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalar, grid=grid, in_specs=in_specs, out_specs=out_spec
+    )
+    call_args = scalar_args + args
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h * d, l), qkv_fm.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * l * l * d,
+            bytes_accessed=qkv_fm.size * qkv_fm.dtype.itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(*call_args)
+    return out
