@@ -177,7 +177,14 @@ def bench_latency() -> None:
 
     n_reqs = int(os.environ.get("BENCH_REQS", "24"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
-    model = get_model("qwen2-vl-2b", batch_size=1, random_init=True, dtype="bfloat16")
+    # Default bf16 (the 2B fits); BENCH_INT8/BENCH_INT4 probe quantized serving
+    # at batch 1, where decode is weight-HBM-bound and the int4 matmul kernel
+    # already dispatches in the small-M regime.
+    model = get_model(
+        "qwen2-vl-2b", batch_size=1, random_init=True, dtype="bfloat16",
+        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "0"))),
+        load_in_4bit=bool(int(os.environ.get("BENCH_INT4", "0"))),
+    )
 
     rng = np.random.RandomState(0)
     docs = [
