@@ -137,3 +137,49 @@ class TestTowerSharding:
         assert tuple(sh["vision"]["layers"]["mlp"]["fc2"]["w"].spec) == (None, "model", None)
         # Projection head and embeddings replicated.
         assert tuple(sh["vision"]["visual_projection"]["w"].spec) == ()
+
+
+class TestKvInt8UnderMesh:
+    def test_generate_kv_int8_sharded_matches(self, mesh, monkeypatch):
+        """greedy_generate with the int8 KV cache under a TP mesh: the
+        compiler picks shardings for the in-jit cache + scale arrays; tokens
+        must match the unsharded bf16-cache run."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.parallel.sharding import shard_params
+
+        config = qvl.Qwen2VLConfig.from_hf_dict(
+            dict(
+                vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+                tie_word_embeddings=True,
+                rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            )
+        )
+        params = qvl.init_decoder_params(jax.random.PRNGKey(5), config, jnp.float32)
+        rng = np.random.RandomState(21)
+        B, L = 2, 16
+        embeds = jnp.asarray(rng.randn(B, L, 64).astype(np.float32) * 0.1)
+        pos = jnp.broadcast_to(jnp.arange(L)[None, None, :], (3, B, L)).astype(jnp.int32)
+        mask = jnp.ones((B, L), jnp.int32)
+        next_pos = jnp.asarray(np.full(B, L, np.int64))
+        eos = jnp.asarray([127], jnp.int32)
+
+        monkeypatch.delenv("LMMS_OWC_KV_INT8", raising=False)
+        jax.clear_caches()
+        base = np.asarray(qvl.greedy_generate(
+            params, embeds, pos, mask, next_pos, config,
+            max_new_tokens=6, cache_len=24, eos_ids=eos,
+        ))
+        monkeypatch.setenv("LMMS_OWC_KV_INT8", "force")
+        jax.clear_caches()
+        sharded = shard_params(params, mesh)
+        with mesh:
+            out = np.asarray(qvl.greedy_generate(
+                sharded, embeds, pos, mask, next_pos, config,
+                max_new_tokens=6, cache_len=24, eos_ids=eos,
+            ))
+        np.testing.assert_array_equal(base, out)
