@@ -362,3 +362,26 @@ def test_from_pretrained_kv_int8_matches(checkpoint_dir, monkeypatch):
     jax.clear_caches()
     out = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
     assert out == base
+
+
+@pytest.mark.parametrize("checkpoint_dir", ["qwen2-vl-tiny"], indirect=True)
+def test_from_pretrained_all_probes_combined(checkpoint_dir, monkeypatch):
+    """All three opt-in serving probes enabled TOGETHER (qkv merge + int8 KV
+    cache + feature-major vision): winners of the hardware A/Bs may ship as a
+    combination, and each probe rewrites a different part of the same forward
+    pass (weight tree, decode carry, vision layout) — the composition is what
+    production would run, so pin it to the all-off outputs."""
+    import jax
+
+    from lmms_owc_tpu.models import get_model
+
+    family, path = checkpoint_dir
+    for var in ("LMMS_OWC_DECODER_QKV_MERGE", "LMMS_OWC_KV_INT8", "LMMS_OWC_VISION_FM"):
+        monkeypatch.delenv(var, raising=False)
+    jax.clear_caches()
+    base = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
+    for var in ("LMMS_OWC_DECODER_QKV_MERGE", "LMMS_OWC_KV_INT8", "LMMS_OWC_VISION_FM"):
+        monkeypatch.setenv(var, "force")
+    jax.clear_caches()
+    out = _drive(get_model(family, pretrained=str(path), batch_size=2, dtype="float32"))
+    assert out == base
