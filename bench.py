@@ -122,7 +122,13 @@ def bench_judge() -> None:
     from lmms_owc_tpu.nn.judge import JudgeModel
 
     n_pairs = int(os.environ.get("BENCH_PAIRS", "256"))
-    judge = JudgeModel.random_init(seed=0)
+    # BENCH_JUDGE_INT8 serves the judge with int8 linear weights (decode is
+    # weight-HBM-bound, so this halves the per-step roofline); BENCH_JUDGE_BATCH
+    # amortizes the per-step weight read over more rows.
+    judge = JudgeModel.random_init(
+        seed=0, load_in_8bit=bool(int(os.environ.get("BENCH_JUDGE_INT8", "0")))
+    )
+    judge.batch_size = int(os.environ.get("BENCH_JUDGE_BATCH", str(judge.batch_size)))
     rng = np.random.RandomState(0)
     words = ["panda", "jay", "turtle", "retriever", "oak", "jet", "rose", "sedan"]
 

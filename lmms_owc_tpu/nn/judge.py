@@ -119,7 +119,15 @@ class JudgeModel:
         return jax.device_put(jnp.asarray(arr), NamedSharding(self.mesh, spec))
 
     @classmethod
-    def from_pretrained(cls, path: str, dtype=None, data_parallel: bool = True) -> "JudgeModel":
+    def from_pretrained(
+        cls, path: str, dtype=None, data_parallel: bool = True, load_in_8bit: bool = False
+    ) -> "JudgeModel":
+        """Load a judge checkpoint; ``load_in_8bit`` streams the host-side tree
+        to the device with linear weights quantized (judge scoring is
+        decode-dominated, so the per-step weight read is the roofline — int8
+        halves it; the reference likewise serves its judge quantized via
+        bitsandbytes)."""
+        import jax
         import jax.numpy as jnp
         from transformers import AutoTokenizer
 
@@ -128,14 +136,23 @@ class JudgeModel:
 
         llama_config = llama_config_from_hf(load_config_json(path))
         state = load_safetensors_state(path)
-        params = convert_hf_llama_weights(state, llama_config, dtype or jnp.bfloat16)
+        if load_in_8bit:
+            from lmms_owc_tpu.ops.quant import stream_quantize_to_device
+
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                params = convert_hf_llama_weights(state, llama_config, dtype or jnp.bfloat16)
+            params = stream_quantize_to_device(params, bits=8)
+        else:
+            params = convert_hf_llama_weights(state, llama_config, dtype or jnp.bfloat16)
         del state
         tokenizer = AutoTokenizer.from_pretrained(path)
-        log.info("loaded judge model from %s", path)
+        log.info("loaded judge model from %s%s", path, " (int8)" if load_in_8bit else "")
         return cls(params, llama_config.to_decoder_config(), tokenizer, data_parallel=data_parallel)
 
     @classmethod
-    def random_init(cls, seed: int = 0, dtype=None, data_parallel: bool = True) -> "JudgeModel":
+    def random_init(
+        cls, seed: int = 0, dtype=None, data_parallel: bool = True, load_in_8bit: bool = False
+    ) -> "JudgeModel":
         """Judge-architecture model with random weights (benchmarking without
         checkpoints — identical FLOPs/memory traffic to the real judge)."""
         import jax
@@ -145,6 +162,12 @@ class JudgeModel:
 
         config = llama_config_from_hf(dict(LLAMA32_3B_CONFIG))
         params = init_llama_params(jax.random.PRNGKey(seed), config, dtype or jnp.bfloat16)
+        if load_in_8bit:
+            # Params were initialized on the default (accelerator) device, so
+            # this quantizes in place there — no host round-trip.
+            from lmms_owc_tpu.ops.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
         return cls(params, config.to_decoder_config(), _FallbackJudgeTokenizer(),
                    data_parallel=data_parallel)
 

@@ -234,6 +234,24 @@ class TestJudgeFromPretrained:
         assert "qkv" in merged.params["layers"]["attn"]
         assert base.score_pairs(prompts, None, None) == merged.score_pairs(prompts, None, None)
 
+    def test_load_in_8bit_runs_and_quantizes(self, llama_checkpoint):
+        """load_in_8bit streams the judge tree to the device with int8 linear
+        leaves (the serving mode for real checkpoints: decode is weight-HBM-
+        bound, int8 halves the per-step read). int8 changes numerics, so this
+        pins the tree shape + a non-degenerate verdict, not exact strings."""
+        import jax
+
+        from lmms_owc_tpu.nn.judge import JudgeModel
+
+        judge = JudgeModel.from_pretrained(
+            str(llama_checkpoint), load_in_8bit=True, data_parallel=False
+        )
+        attn = judge.params["layers"]["attn"]
+        leaf = (attn.get("qkv") or attn["q"])["w_q8"]
+        assert leaf["q"].dtype == jax.numpy.int8
+        out = judge.score_pairs(["is w3 contained in w3 w7? yes or no"], None, None)
+        assert len(out) == 1 and isinstance(out[0], str)
+
     def test_tokenizer_roundtrip_has_eot(self, llama_checkpoint):
         """The saved tokenizer must resolve <|eot_id|> so the judge's stop set is real."""
         from transformers import AutoTokenizer
