@@ -129,6 +129,14 @@ def bench_judge() -> None:
         seed=0, load_in_8bit=bool(int(os.environ.get("BENCH_JUDGE_INT8", "0")))
     )
     judge.batch_size = int(os.environ.get("BENCH_JUDGE_BATCH", str(judge.batch_size)))
+    if bool(int(os.environ.get("BENCH_JUDGE_INT8_ACT", "0"))):
+        # W8A8 judge: prefill is ~half the per-chunk roofline (26 TFLOP per
+        # 64-pair chunk at these prompt lengths), and the s8 x s8 MXU runs it
+        # at 2x. Same LLM.int8-style numerics class as the reference's
+        # bitsandbytes judge. Requires BENCH_JUDGE_INT8=1 for int8 kernels.
+        from lmms_owc_tpu.nn.layers import set_int8_activations
+
+        set_int8_activations(True)
     rng = np.random.RandomState(0)
     words = ["panda", "jay", "turtle", "retriever", "oak", "jet", "rose", "sedan"]
 
