@@ -313,27 +313,11 @@ class Model(abc.ABC):
 
         ``prepare(chunk)`` does host preprocessing + vision encode (GIL-friendly);
         ``run(chunk, prepared)`` does the serial decode and returns a list of
-        outputs. Depth 2 keeps the NEXT chunk's host->device uploads moving while
-        the current chunk decodes — on narrow transfer links (tunnels, congested
-        PCIe) a single-chunk lookahead is not enough to hide the upload.
+        outputs. See :func:`lmms_owc_tpu.utils.foreach_chunk_pipelined`.
         """
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
+        from lmms_owc_tpu.utils import foreach_chunk_pipelined
 
-        results: list = []
-        if not chunks:
-            return results
-        depth = max(1, int(depth))
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            pending: deque = deque(
-                pool.submit(prepare, chunk) for chunk in chunks[:depth]
-            )
-            for i, chunk in enumerate(chunks):
-                prepared = pending.popleft().result()
-                if i + depth < len(chunks):
-                    pending.append(pool.submit(prepare, chunks[i + depth]))
-                results.extend(run(chunk, prepared))
-        return results
+        return foreach_chunk_pipelined(chunks, prepare, run, depth=depth)
 
     def apply_chat_template(self, messages: list[dict]) -> str:
         """Render chat messages to a prompt string (--apply_chat_template).

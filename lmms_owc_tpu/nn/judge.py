@@ -171,64 +171,79 @@ class JudgeModel:
         return cls(params, config.to_decoder_config(), _FallbackJudgeTokenizer(),
                    data_parallel=data_parallel)
 
+    def _prepare_chunk(self, chunk: list[str]) -> tuple:
+        """Host side of one scoring chunk: chat-template render, tokenize,
+        left-pad to a length bucket, and start the device uploads."""
+        from lmms_owc_tpu.nn.llama import llama_positions
+
+        rendered = [
+            self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": prompt}],
+                tokenize=False,
+                add_generation_prompt=True,
+            )
+            for prompt in chunk
+        ]
+        encoded = [self.tokenizer.encode(text, add_special_tokens=False) for text in rendered]
+        max_len = max(len(ids) for ids in encoded)
+        bucket = pad_to_bucket(max_len)
+        pad_id = self.config.pad_token_id
+
+        # Pad the row count to a multiple of the data mesh (duplicate rows are
+        # sliced off after generation).
+        n_rows = len(chunk)
+        if self.mesh is not None:
+            per = self.mesh.devices.size
+            n_rows = -(-n_rows // per) * per
+        input_ids = np.full((n_rows, bucket), pad_id, np.int64)
+        mask = np.zeros((n_rows, bucket), np.int64)
+        for row in range(n_rows):
+            ids = encoded[min(row, len(chunk) - 1)]
+            input_ids[row, bucket - len(ids) :] = ids
+            mask[row, bucket - len(ids) :] = 1
+
+        position_ids, next_pos = llama_positions(mask)
+        # device_put dispatches are async: the NEXT chunk's uploads ride the
+        # link while the current chunk decodes (foreach_chunk_pipelined).
+        return (
+            bucket,
+            self._place_rows(input_ids),
+            self._place_rows(position_ids, batch_axis=position_ids.ndim - 2),
+            self._place_rows(mask.astype(np.int32)),
+            self._place_rows(next_pos.astype(np.int32)),
+        )
+
     def _generate(self, prompts: list[str]) -> list[str]:
         import jax.numpy as jnp
 
-        from lmms_owc_tpu.nn.llama import greedy_generate, llama_positions
+        from lmms_owc_tpu.nn.llama import greedy_generate
+        from lmms_owc_tpu.utils import foreach_chunk_pipelined
 
-        outputs: list[str] = []
         eos_ids = [self.tokenizer.eos_token_id]
         for tok in ("<|eot_id|>",):
             tok_id = self.tokenizer.convert_tokens_to_ids(tok)
             if tok_id is not None and tok_id >= 0:
                 eos_ids.append(tok_id)
         eos_ids = sorted(set(int(e) for e in eos_ids if e is not None))
+        pad_id = self.config.pad_token_id
+        stop = set(eos_ids) | {pad_id}
 
-        for start in range(0, len(prompts), self.batch_size):
-            chunk = prompts[start : start + self.batch_size]
-            rendered = [
-                self.tokenizer.apply_chat_template(
-                    [{"role": "user", "content": prompt}],
-                    tokenize=False,
-                    add_generation_prompt=True,
-                )
-                for prompt in chunk
-            ]
-            encoded = [self.tokenizer.encode(text, add_special_tokens=False) for text in rendered]
-            max_len = max(len(ids) for ids in encoded)
-            bucket = pad_to_bucket(max_len)
-            pad_id = self.config.pad_token_id
-
-            # Pad the row count to a multiple of the data mesh (duplicate rows are
-            # sliced off after generation).
-            n_rows = len(chunk)
-            if self.mesh is not None:
-                per = self.mesh.devices.size
-                n_rows = -(-n_rows // per) * per
-            input_ids = np.full((n_rows, bucket), pad_id, np.int64)
-            mask = np.zeros((n_rows, bucket), np.int64)
-            for row in range(n_rows):
-                ids = encoded[min(row, len(chunk) - 1)]
-                input_ids[row, bucket - len(ids) :] = ids
-                mask[row, bucket - len(ids) :] = 1
-
-            position_ids, next_pos = llama_positions(mask)
-            embeds = jnp.take(
-                self.params["embed_tokens"], self._place_rows(input_ids), axis=0
-            )
+        def run(chunk: list[str], prepared: tuple) -> list[str]:
+            bucket, input_ids, position_ids, mask, next_pos = prepared
+            embeds = jnp.take(self.params["embed_tokens"], input_ids, axis=0)
             tokens = greedy_generate(
                 self.params,
                 embeds,
-                self._place_rows(position_ids, batch_axis=position_ids.ndim - 2),
-                self._place_rows(mask.astype(np.int32)),
-                self._place_rows(next_pos.astype(np.int32)),
+                position_ids,
+                mask,
+                next_pos,
                 self.config,
                 max_new_tokens=MAX_NEW_TOKENS,
                 cache_len=bucket + 64,
                 eos_ids=jnp.asarray(eos_ids, jnp.int32),
             )
             tokens = np.asarray(tokens)[: len(chunk)]
-            stop = set(eos_ids) | {pad_id}
+            outputs = []
             for row in range(len(chunk)):
                 ids = []
                 for tok in tokens[row]:
@@ -236,7 +251,13 @@ class JudgeModel:
                         break
                     ids.append(int(tok))
                 outputs.append(self.tokenizer.decode(ids, skip_special_tokens=True).strip())
-        return outputs
+            return outputs
+
+        chunks = [
+            prompts[start : start + self.batch_size]
+            for start in range(0, len(prompts), self.batch_size)
+        ]
+        return foreach_chunk_pipelined(chunks, self._prepare_chunk, run)
 
     def score_pairs(self, prompts: list[str], predictions, references) -> list[str]:
         return self._generate(prompts)

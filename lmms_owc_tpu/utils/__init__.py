@@ -16,6 +16,7 @@ from lmms_owc_tpu.utils._config import (
 from lmms_owc_tpu.utils._core import (
     convert_non_serializable,
     create_iterator,
+    foreach_chunk_pipelined,
     get_datetime_str,
     get_git_commit_hash,
     get_progress_bar,
@@ -63,6 +64,7 @@ __all__ = [
     "pattern_match",
     "positional_deprecated",
     "deprecated_positional",
+    "foreach_chunk_pipelined",
     "rank_zero_only",
     "regex_replace",
     "request_cache_dir",

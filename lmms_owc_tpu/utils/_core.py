@@ -32,7 +32,36 @@ __all__ = [
     "convert_non_serializable",
     "positional_deprecated",
     "simple_parse_args_string",
+    "foreach_chunk_pipelined",
 ]
+
+
+def foreach_chunk_pipelined(chunks: list, prepare, run, depth: int = 2) -> list:
+    """Process chunks with up to ``depth`` chunks' preparation in flight.
+
+    ``prepare(chunk)`` does host preprocessing (tokenization, image decode,
+    host->device uploads — GIL-friendly work); ``run(chunk, prepared)`` does the
+    serial device step and returns a list of outputs. Depth 2 keeps the NEXT
+    chunk's uploads moving while the current chunk computes — on narrow
+    transfer links (tunnels, congested PCIe) a single-chunk lookahead is not
+    enough to hide the upload. Shared by the model adapters
+    (``Model._foreach_chunk_pipelined``) and the judge/scoring stacks.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: list = []
+    if not chunks:
+        return results
+    depth = max(1, int(depth))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending: deque = deque(pool.submit(prepare, chunk) for chunk in chunks[:depth])
+        for i, chunk in enumerate(chunks):
+            prepared = pending.popleft().result()
+            if i + depth < len(chunks):
+                pending.append(pool.submit(prepare, chunks[i + depth]))
+            results.extend(run(chunk, prepared))
+    return results
 
 TQDM_BAR_FORMAT = (
     "{desc}: {percentage:3.0f}%|{bar}| {n_fmt}/{total_fmt} "
