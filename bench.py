@@ -376,5 +376,31 @@ def main() -> None:
     )
 
 
+def _main_with_retries() -> int:
+    """Retry transient accelerator-runtime failures (the TPU tunnel
+    intermittently reports UNAVAILABLE / DEADLINE_EXCEEDED; a flap at bench
+    time should not zero out the round's number). Deliberate config errors
+    (bad env values etc.) raise non-runtime exception types and surface
+    immediately. BENCH_RETRIES=0 opts out."""
+    retries = int(os.environ.get("BENCH_RETRIES", "2"))
+    for attempt in range(retries + 1):
+        try:
+            return main() or 0
+        except Exception as exc:  # noqa: BLE001 - classify then re-raise
+            transient = any(
+                key in f"{type(exc).__name__}: {exc}"
+                for key in ("UNAVAILABLE", "DEADLINE_EXCEEDED", "INTERNAL", "ABORTED")
+            )
+            if not transient or attempt == retries:
+                raise
+            print(
+                f"bench attempt {attempt + 1} failed ({type(exc).__name__}); "
+                "retrying in 120s",
+                file=sys.stderr,
+            )
+            time.sleep(120)
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retries())
