@@ -482,12 +482,15 @@ def _vision_fm_enabled() -> bool:
     by :func:`ops.fused_qkv_attention_fm` IN PLACE (head offsets are 8-aligned
     SUBLANE offsets) and the per-layer 2-pass token-major transpose
     (r3e xplane copy.41 + copy.42, ~2.8 ms/layer at 7B bench shapes)
-    disappears. ``force`` enables anywhere; ``1`` on TPU. Default OFF pending
-    the hardware A/B. Mutually exclusive with LMMS_OWC_VISION_PACKED.
+    disappears. **Default ON on TPU** since the r3 final-session interleaved
+    hardware A/B (two clean pairs: 23.5 vs 21.7/21.7 and 21.7 vs 20.1
+    img/s/chip, ~+8% e2e each). ``LMMS_OWC_VISION_FM=0`` opts out; ``force``
+    enables anywhere (CPU parity tests). Takes precedence over
+    LMMS_OWC_VISION_PACKED (mutually exclusive layouts).
     """
     import os
 
-    mode = os.environ.get("LMMS_OWC_VISION_FM", "")
+    mode = os.environ.get("LMMS_OWC_VISION_FM", "1")
     if mode == "force":
         return True
     return mode == "1" and jax.default_backend() == "tpu"
@@ -608,7 +611,13 @@ def vision_encode_batch(
     """
     act = _VISION_ACTS[config.hidden_act]
     param_dtype = params["patch_embed"]["w"].dtype
-    fm = _vision_fm_enabled()
+    # The env gate says whether the LOADER transposed the tree to feature-major
+    # (vision_params_to_fm); confirm against the actual patch_embed layout so a
+    # tree that skipped the transpose (TP-sharded load, hand-built fixtures)
+    # always takes the matching token-major trace even when the gate is on.
+    fm = _vision_fm_enabled() and (
+        params["patch_embed"]["w"].shape[-1] == patches.shape[-1]
+    )
     if fm:
         # Feature-major tower: params were pre-transposed at load
         # (vision_params_to_fm), so patch_embed's w is [embed_dim, patch_dim]
