@@ -289,6 +289,7 @@ class Qwen2VL(Model):
             qvl._vision_fm_enabled()
             and not self.is_v25
             and not self.use_mesh
+            and not self.load_in_4bit  # dense_fm has no w_q4 form; keep token-major
             and "vision" in self.params
         ):
             # Feature-major vision tower (LMMS_OWC_VISION_FM): weights

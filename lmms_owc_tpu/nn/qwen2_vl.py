@@ -615,8 +615,12 @@ def vision_encode_batch(
     # (vision_params_to_fm); confirm against the actual patch_embed layout so a
     # tree that skipped the transpose (TP-sharded load, hand-built fixtures)
     # always takes the matching token-major trace even when the gate is on.
-    fm = _vision_fm_enabled() and (
-        params["patch_embed"]["w"].shape[-1] == patches.shape[-1]
+    fm = (
+        _vision_fm_enabled()
+        and params["patch_embed"]["w"].shape[-1] == patches.shape[-1]
+        # dense_fm supports bf16/int8 leaves only; an int4 tree (w_q4) must
+        # take the token-major trace (its packed-nibble layout has no fm form).
+        and "w_q4" not in params["layers"]["qkv"]
     )
     if fm:
         # Feature-major tower: params were pre-transposed at load

@@ -151,6 +151,44 @@ def test_vision_fm_padded_batch(monkeypatch):
     )
 
 
+def test_adapter_fm_int4_falls_back_token_major(monkeypatch, tmp_path):
+    """load_in_4bit + the FM default: the int4 vision tree has w_q4 leaves
+    dense_fm cannot consume, so the adapter must keep the tower token-major.
+
+    Regression: the r3 FM default flip transposed the tree anyway and the fm
+    trace crashed with KeyError 'w' on every TPU int4 run (BENCH_INT4 capacity
+    mode, load_in_4bit adapters)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_checkpoint_matrix import _build_qwen2_vl, _drive
+
+    from lmms_owc_tpu.models import get_model
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    _build_qwen2_vl(ckpt)
+
+    monkeypatch.delenv("LMMS_OWC_VISION_FM", raising=False)
+    jax.clear_caches()
+    base = _drive(
+        get_model("qwen2-vl-tiny", pretrained=str(ckpt), batch_size=2, load_in_4bit=True)
+    )
+    monkeypatch.setenv("LMMS_OWC_VISION_FM", "force")
+    jax.clear_caches()
+    model = get_model(
+        "qwen2-vl-tiny", pretrained=str(ckpt), batch_size=2, load_in_4bit=True
+    )
+    vision = model.params["vision"]
+    assert "w_q4" in vision["layers"]["qkv"]  # int4 tree really was built
+    # token-major patch_embed retained (the fm transpose must NOT have run)
+    assert vision["patch_embed"]["w"].shape[-1] == model.config.vision.embed_dim
+    out = _drive(model)
+    monkeypatch.delenv("LMMS_OWC_VISION_FM", raising=False)
+    jax.clear_caches()
+    assert out == base
+
+
 def test_adapter_fm_generate_matches(monkeypatch, tmp_path):
     """qwen2-vl-tiny from disk through generate_until: fm vision (forced) vs
     the default tower, float32 — outputs must match."""
