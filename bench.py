@@ -34,16 +34,18 @@ def repeat_timed(run, n: int) -> tuple[float, list[float]]:
     """Run ``run()`` n times; return (accepted elapsed seconds, all elapsed).
 
     Variance control for A/B decisions on <10% effects: the tunnel occasionally
-    produces ~30% slow outliers (thermal/contention). Runs slower than 1.25x the
-    minimum are rejected; the median of the survivors is reported. n=1 keeps the
-    legacy single-shot behavior.
+    produces ~30% slow outliers (thermal/contention). Runs slower than 1.15x the
+    minimum are rejected (r3 postmortem: a 1.25x gate let a cold 17.1 img/s run
+    survive next to 22.7); the median of the survivors is reported. n=1 keeps
+    the legacy single-shot behavior. BENCH_OUTLIER_FACTOR overrides the gate.
     """
+    factor = float(os.environ.get("BENCH_OUTLIER_FACTOR", "1.15"))
     times = []
     for _ in range(max(1, n)):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    kept = sorted(t for t in times if t <= 1.25 * min(times))
+    kept = sorted(t for t in times if t <= factor * min(times))
     return kept[len(kept) // 2], times
 
 
@@ -345,6 +347,19 @@ def main() -> None:
     model.generate_until(warm)
 
     requests = [_Req(i) for i in range(num_images)]
+
+    if bool(int(os.environ.get("BENCH_WARMUP_FULL", "1"))):
+        # One full-length untimed pass (r3 postmortem: the driver's first timed
+        # run lands on a cold chip — clocks ramp over the first few macro-
+        # batches, and the one-chunk compile warmup above is too short to reach
+        # steady state; warm-chip medians ran ~10% above the driver-visible
+        # number). Re-running the timed inputs is sound: the repeat loop below
+        # already re-runs identical inputs N times, and no response cache is
+        # active — the only cache in the path is the jit program cache, which
+        # the timed run is *supposed* to hit.
+        model.generate_until(requests)
+
+
     profile_dir = os.environ.get("BENCH_PROFILE_DIR")
     if profile_dir:
         import jax

@@ -159,8 +159,9 @@ def test_adapter_fm_int4_falls_back_token_major(monkeypatch, tmp_path):
     trace crashed with KeyError 'w' on every TPU int4 run (BENCH_INT4 capacity
     mode, load_in_4bit adapters)."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_checkpoint_matrix import _build_qwen2_vl, _drive
 
     from lmms_owc_tpu.models import get_model
@@ -184,8 +185,6 @@ def test_adapter_fm_int4_falls_back_token_major(monkeypatch, tmp_path):
     # token-major patch_embed retained (the fm transpose must NOT have run)
     assert vision["patch_embed"]["w"].shape[-1] == model.config.vision.embed_dim
     out = _drive(model)
-    monkeypatch.delenv("LMMS_OWC_VISION_FM", raising=False)
-    jax.clear_caches()
     assert out == base
 
 
@@ -193,8 +192,9 @@ def test_adapter_fm_generate_matches(monkeypatch, tmp_path):
     """qwen2-vl-tiny from disk through generate_until: fm vision (forced) vs
     the default tower, float32 — outputs must match."""
     import sys
+    from pathlib import Path
 
-    sys.path.insert(0, "tests")
+    sys.path.insert(0, str(Path(__file__).parent))
     from test_checkpoint_matrix import _build_qwen2_vl, _drive
 
     from lmms_owc_tpu.models import get_model
@@ -211,6 +211,4 @@ def test_adapter_fm_generate_matches(monkeypatch, tmp_path):
     model = get_model("qwen2-vl-tiny", pretrained=str(ckpt), batch_size=2, dtype="float32")
     assert model.params["vision"]["patch_embed"]["w"].shape[0] == model.config.vision.embed_dim
     out = _drive(model)
-    monkeypatch.delenv("LMMS_OWC_VISION_FM", raising=False)
-    jax.clear_caches()
     assert out == base
