@@ -200,10 +200,12 @@ class LlavaHf(Model):
 
         self.mesh = None
         if self.use_mesh:
-            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+            from lmms_owc_tpu.parallel import local_mesh
             from lmms_owc_tpu.parallel.sharding import shard_params
 
-            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
+            # LOCAL devices only — per-process TP composes with per-process DP
+            # request sharding (see qwen2_vl.py).
+            self.mesh = local_mesh(self.model_parallel)
             self.params["text"] = shard_params(self.params["text"], self.mesh)
 
         self._rng = jax.random.PRNGKey(self.jax_random_seed)

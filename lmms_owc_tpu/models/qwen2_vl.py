@@ -304,10 +304,15 @@ class Qwen2VL(Model):
         # Model.__init__ after this returns — skipped under the TP mesh below.
         self.mesh = None
         if self.use_mesh:
-            from lmms_owc_tpu.parallel import MeshConfig, create_mesh
+            from lmms_owc_tpu.parallel import local_mesh
             from lmms_owc_tpu.parallel.sharding import shard_params
 
-            self.mesh = create_mesh(MeshConfig(data=-1, model=self.model_parallel))
+            # LOCAL devices only: multi-process runs shard requests per process
+            # (reference DP semantics, docs/deployment.md "world_size counts
+            # hosts"), so each process runs its own TP mesh over its own chips —
+            # a global mesh would require lockstep identical programs across
+            # ranks that hold rank-distinct data.
+            self.mesh = local_mesh(self.model_parallel)
             self.params = shard_params(self.params, self.mesh)
 
         self._rng = jax.random.PRNGKey(self.jax_random_seed)
