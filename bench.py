@@ -49,6 +49,32 @@ def repeat_timed(run, n: int) -> tuple[float, list[float]]:
     return kept[len(kept) // 2], times
 
 
+def sample_image_sizes(image_hw_env: str, n: int, rng) -> list[tuple[int, int]]:
+    """Image (H, W) list for the throughput bench.
+
+    ``BENCH_IMAGE_HW=mixed`` samples a realistic size distribution (VERDICT r3
+    #3): every real benchmark in the reference's _classification/ suite is
+    variable-resolution. The choices approximate the caltech101/dtd/food101
+    histograms — caltech101 clusters near 300x200-300, dtd spans 300-640 on the
+    long side, food101 caps at 512 — exercising per-size vision grouping,
+    patch-bucket fragmentation, and padding waste that uniform-448 hides.
+    An integer value keeps the legacy uniform square behavior.
+    """
+    if image_hw_env == "mixed":
+        size_choices = [
+            (200, 300), (300, 200), (225, 300), (300, 225), (240, 320),
+            (375, 500), (500, 375), (334, 500), (500, 334),
+            (480, 640), (640, 480), (512, 512), (384, 512), (512, 384),
+        ]
+        import numpy as np
+
+        weights = np.array([8, 8, 6, 6, 6, 10, 10, 7, 7, 9, 9, 5, 4.5, 4.5])
+        picks = rng.choice(len(size_choices), size=n, p=weights / weights.sum())
+        return [size_choices[i] for i in picks]
+    hw = int(image_hw_env)
+    return [(hw, hw)] * n
+
+
 def bench_simmatch() -> None:
     """BENCH_MODE=simmatch: sentence-embedding label<->class matching throughput.
 
@@ -280,7 +306,7 @@ def main() -> None:
     # measures 14.6-15.2 img/s here vs 13.8-14.9 at 4 chunks.
     num_images = int(os.environ.get("BENCH_IMAGES", "384"))
     max_new_tokens = int(os.environ.get("BENCH_NEW_TOKENS", "64"))
-    image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
+    image_hw_env = os.environ.get("BENCH_IMAGE_HW", "448")
 
     if bool(int(os.environ.get("BENCH_INT8_ACT", "1"))):
         # W8A8 (default): per-token int8 activations on every int8-weight matmul,
@@ -315,9 +341,10 @@ def main() -> None:
     # timed inputs (timing hygiene). Note the timed region is sound w.r.t. the
     # tunnel's deferred execution: generate_until fetches tokens to host per
     # chunk, which forces every dispatch to actually run inside the window.
+    sizes = sample_image_sizes(image_hw_env, num_images + batch_size, rng)
     docs = [
-        {"image": Image.fromarray(rng.randint(0, 255, (image_hw, image_hw, 3), dtype=np.uint8))}
-        for _ in range(num_images + batch_size)
+        {"image": Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))}
+        for h, w in sizes
     ]
 
     class _BenchTask:
@@ -381,7 +408,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"images_per_sec_per_chip_{preset.replace('-', '_')}_owc_eval",
+                "metric": f"images_per_sec_per_chip_{preset.replace('-', '_')}_owc_eval"
+                + ("_mixedres" if image_hw_env == "mixed" else ""),
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),

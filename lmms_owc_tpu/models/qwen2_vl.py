@@ -17,6 +17,7 @@ Functional parity with reference src/models/_qwen2_vl.py (generate_until flow at
 from __future__ import annotations
 
 import hashlib
+import os
 from pathlib import Path
 
 import numpy as np
@@ -622,22 +623,17 @@ class Qwen2VL(Model):
                 out.append(tok)
         return out
 
-    def _run_batch(self, batch: list[tuple], gen_kwargs: dict, vision_flat=None) -> list[str]:
-        """Generate for one macro batch of (token_ids, vision_spans, grids).
+    def _build_batch_inputs(self, batch: list[tuple], vision_flat=None):
+        """Assemble device inputs for one macro batch of (token_ids, vision_spans,
+        grids): left-padded ids/mask, M-RoPE positions, and the token embeddings
+        with vision embeds scattered in (one fused gather/where program — no
+        per-row device dispatches).
 
-        ``vision_spans`` are (offset, count) windows into ``vision_flat`` (a device
-        array of merged vision tokens); the scatter into the token embeddings is a
-        single fused gather/where program — no per-row device dispatches.
-        """
-        import jax
+        Returns (embeds, position_ids, attention_mask [np], next_pos [np],
+        bucket_len)."""
         import jax.numpy as jnp
 
         from lmms_owc_tpu.nn import qwen2_vl as qvl
-
-        max_new_tokens = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
-        do_sample = bool(gen_kwargs.get("do_sample", False))
-        temperature = float(gen_kwargs.get("temperature") or 1.0)
-        top_p = float(gen_kwargs.get("top_p") or 1.0)
 
         bsz = len(batch)
         max_len = max(len(ids) for ids, _, _ in batch)
@@ -669,6 +665,40 @@ class Qwen2VL(Model):
             vision_flat,
             jnp.asarray(index_map) if vision_flat is not None else None,
         )
+        return embeds, position_ids, attention_mask, next_pos, bucket_len
+
+    def _detokenize(self, tokens: np.ndarray) -> list[str]:
+        """Trim each row at the first EOS/pad token and decode to text."""
+        texts = []
+        eos_set = set(self.eos_token_ids) | {self.config.pad_token_id}
+        for row in range(tokens.shape[0]):
+            ids = []
+            for tok in tokens[row]:
+                if int(tok) in eos_set:
+                    break
+                ids.append(int(tok))
+            texts.append(self.tokenizer.decode(ids, skip_special_tokens=True))
+        return texts
+
+    def _run_batch(self, batch: list[tuple], gen_kwargs: dict, vision_flat=None) -> list[str]:
+        """Generate for one macro batch of (token_ids, vision_spans, grids).
+
+        ``vision_spans`` are (offset, count) windows into ``vision_flat`` (a device
+        array of merged vision tokens).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+        max_new_tokens = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
+        do_sample = bool(gen_kwargs.get("do_sample", False))
+        temperature = float(gen_kwargs.get("temperature") or 1.0)
+        top_p = float(gen_kwargs.get("top_p") or 1.0)
+
+        embeds, position_ids, attention_mask, next_pos, bucket_len = (
+            self._build_batch_inputs(batch, vision_flat)
+        )
 
         cache_len = bucket_len + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
         self._rng, subkey = jax.random.split(self._rng)
@@ -687,18 +717,70 @@ class Qwen2VL(Model):
             temperature=temperature,
             top_p=top_p,
         )
-        tokens = np.asarray(tokens)
+        return self._detokenize(np.asarray(tokens))
 
-        texts = []
-        eos_set = set(self.eos_token_ids) | {pad_id}
-        for row in range(bsz):
-            ids = []
-            for tok in tokens[row]:
-                if int(tok) in eos_set:
-                    break
-                ids.append(int(tok))
-            texts.append(self.tokenizer.decode(ids, skip_special_tokens=True))
-        return texts
+    def _run_pooled(self, prepared_list: list, gen_kwargs: dict) -> list[str]:
+        """Decode-pool serving (LMMS_OWC_DECODE_POOL=N): prefill each chunk at
+        its own MXU-optimal (batch, bucket) shape, then decode ALL chunks as one
+        pooled batch so the per-step weight read (the int8-7B decode roofline,
+        ~7.6 GB/step) is amortized over N x batch rows instead of batch.
+
+        Per-chunk caches are front-padded to the longest prompt bucket in the
+        pool (masked like ordinary left-padding) so one static cache position
+        serves every row. Returns the pool's texts in chunk order.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+        max_new_tokens = int(gen_kwargs.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS))
+        do_sample = bool(gen_kwargs.get("do_sample", False))
+        temperature = float(gen_kwargs.get("temperature") or 1.0)
+        top_p = float(gen_kwargs.get("top_p") or 1.0)
+
+        kv_chunks, masks, logits_all, next_all = [], [], [], []
+        for rows, vision_flat in prepared_list:
+            embeds, position_ids, attention_mask, next_pos, _ = (
+                self._build_batch_inputs(rows, vision_flat)
+            )
+            logits, ks, vs = qvl.prefill_logits(
+                self.params,
+                embeds,
+                jnp.asarray(position_ids),
+                jnp.asarray(attention_mask.astype(np.int32)),
+                self.config,
+            )
+            kv_chunks.append((ks, vs))
+            masks.append(jnp.asarray(attention_mask.astype(np.int32)))
+            logits_all.append(logits)
+            next_all.append(next_pos.astype(np.int32))
+
+        l_max = max(ks.shape[3] for ks, _ in kv_chunks)
+        cache_len = l_max + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
+        cache_k, cache_v, kv_mask = qvl.assemble_decode_pool(
+            tuple(kv_chunks), tuple(masks), cache_len
+        )
+        logits0 = jnp.concatenate(logits_all, axis=0)
+        next_pos_pool = jnp.asarray(np.concatenate(next_all), jnp.int32)
+
+        self._rng, subkey = jax.random.split(self._rng)
+        tokens = qvl.decode_pool(
+            self.params,
+            (cache_k, cache_v),
+            logits0,
+            kv_mask,
+            next_pos_pool,
+            self.config,
+            max_new_tokens=max_new_tokens,
+            prompt_len=l_max,
+            eos_ids=jnp.asarray(self.eos_token_ids, jnp.int32),
+            rng_key=subkey,
+            do_sample=do_sample,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        return self._detokenize(np.asarray(tokens))
 
     @staticmethod
     def _trim_until(text: str, until: list[str] | None) -> str:
@@ -755,6 +837,10 @@ class Qwen2VL(Model):
         )
         chunks = list(collator.get_batched(n=self.batch_size))
 
+        pool_n = int(os.environ.get("LMMS_OWC_DECODE_POOL", "1"))
+        if pool_n > 1:
+            return collator.get_original(self._generate_pooled(chunks, pool_n))
+
         # Pipeline: host preprocessing + vision encode (incl. host->device image
         # uploads) of the next chunks overlaps the decode of chunk k (the C++
         # loader releases the GIL; JAX dispatch is thread-safe). The reference
@@ -772,6 +858,36 @@ class Qwen2VL(Model):
             chunks, lambda chunk: self._prepare_requests_batch(chunk), run
         )
         return collator.get_original(results)
+
+    def _generate_pooled(self, chunks: list, pool_n: int) -> list[str]:
+        """Decode-pool scheduling: consecutive chunks sharing gen_kwargs are
+        pooled (up to ``pool_n`` per pool) so prefill keeps the per-chunk batch
+        while decode runs the whole pool as one batch (see :meth:`_run_pooled`).
+        The host-prep/vision pipeline moves to pool granularity."""
+        pools: list[list] = []
+        for chunk in chunks:
+            key = repr(chunk[0][1])
+            if (
+                pools
+                and len(pools[-1]) < pool_n
+                and repr(pools[-1][0][0][1]) == key
+            ):
+                pools[-1].append(chunk)
+            else:
+                pools.append([chunk])
+
+        def prepare(pool):
+            return [self._prepare_requests_batch(c) for c in pool]
+
+        def run(pool, prepared):
+            gen_kwargs = dict(pool[0][0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            texts = self._run_pooled(prepared, gen_kwargs)
+            return [self._trim_until(t, until).strip() for t in texts]
+
+        return self._foreach_chunk_pipelined(pools, prepare, run)
 
     def generate_until_multi_round(self, requests) -> list[list[str]]:
         """Staged conversation until the task's ``doc_to_text`` signals termination.

@@ -51,10 +51,13 @@ log = get_logger(__name__)
 __all__ = [
     "Qwen2VLConfig",
     "Qwen2VLVisionConfig",
+    "assemble_decode_pool",
     "convert_hf_decoder_weights",
     "convert_hf_weights",
+    "decode_pool",
     "decode_step",
     "greedy_generate",
+    "prefill_logits",
     "init_decoder_params",
     "init_params",
     "mrope_cos_sin",
@@ -1294,6 +1297,65 @@ def _sample_token(logits, key, temperature, top_p, do_sample):
     return jax.random.categorical(key, filtered, axis=-1)
 
 
+def _decode_loop(
+    params: dict,
+    logits: jax.Array,
+    cache: tuple,
+    kv_mask: jax.Array,
+    next_positions: jax.Array,
+    config: Qwen2VLConfig,
+    max_new_tokens: int,
+    prompt_len: int,
+    eos_ids: jax.Array,
+    rng_key: jax.Array | None,
+    do_sample: bool,
+    temperature: float,
+    top_p: float,
+) -> jax.Array:
+    """Decode-until-EOS while-loop shared by :func:`greedy_generate` (fused
+    prefill+decode, the default path) and :func:`decode_pool` (decoupled decode
+    over a pooled cache). ``prompt_len`` is the static cache position of the
+    first generated token (every row's prompt ends at ``prompt_len - 1``)."""
+    b = logits.shape[0]
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    # Sampling happens at the END of each iteration so the loop carry holds only
+    # the sampled token [B] — carrying the f32 [B, vocab] logits instead costs
+    # ~2x vocab*B*4 bytes of HBM traffic per decode step (measured 19 MB/step at
+    # B=32 on the xplane trace).
+    rng_key, sub0 = jax.random.split(rng_key)
+    token0 = _sample_token(logits, sub0, temperature, top_p, do_sample)
+
+    def cond(state):
+        step, _, _, _, _, done, _ = state
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(state):
+        step, token, cache, kv_mask, key, done, tokens = state
+        token = jnp.where(done, config.pad_token_id, token)
+        tokens = tokens.at[:, step].set(token)
+        done = done | jnp.any(token[:, None] == eos_ids[None, :], axis=-1)
+
+        pos = jnp.broadcast_to(
+            (next_positions + step)[None, :, None].astype(jnp.int32), (3, b, 1)
+        )
+        kv_mask = kv_mask.at[:, prompt_len + step].set(1)
+        logits, cache = decode_step(
+            params, token, pos, cache, jnp.array(prompt_len + step, jnp.int32),
+            kv_mask, config,
+        )
+        key, subkey = jax.random.split(key)
+        next_token = _sample_token(logits, subkey, temperature, top_p, do_sample)
+        return step + 1, next_token, cache, kv_mask, key, done, tokens
+
+    tokens0 = jnp.full((b, max_new_tokens), config.pad_token_id, jnp.int32)
+    done0 = jnp.zeros((b,), jnp.bool_)
+    state = (jnp.array(0, jnp.int32), token0, cache, kv_mask, rng_key, done0, tokens0)
+    *_, tokens = jax.lax.while_loop(cond, body, state)
+    return tokens
+
+
 @functools.partial(
     jax.jit, static_argnames=("config", "max_new_tokens", "do_sample", "cache_len")
 )
@@ -1328,41 +1390,93 @@ def greedy_generate(
         # pays HBM rent every step).
         cache = quantize_kv_cache(*cache)
 
-    if rng_key is None:
-        rng_key = jax.random.PRNGKey(0)
-
     kv_mask0 = jnp.pad(attention_mask, ((0, 0), (0, cache_len - l)))
+    return _decode_loop(
+        params, logits, cache, kv_mask0, next_positions, config, max_new_tokens,
+        l, eos_ids, rng_key, do_sample, temperature, top_p,
+    )
 
-    # Sampling happens at the END of each iteration so the loop carry holds only
-    # the sampled token [B] — carrying the f32 [B, vocab] logits instead costs
-    # ~2x vocab*B*4 bytes of HBM traffic per decode step (measured 19 MB/step at
-    # B=32 on the xplane trace).
-    rng_key, sub0 = jax.random.split(rng_key)
-    token0 = _sample_token(logits, sub0, temperature, top_p, do_sample)
 
-    def cond(state):
-        step, _, _, _, _, done, _ = state
-        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+@functools.partial(jax.jit, static_argnames=("config",))
+def prefill_logits(
+    params: dict,
+    input_embeds: jax.Array,
+    position_ids: jax.Array,
+    attention_mask: jax.Array,
+    config: Qwen2VLConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Standalone prefill for the decode-pool path: last-position logits plus the
+    UNPADDED per-layer KV ([num_layers, B, Hkv, L, D]) — pool assembly pads and
+    concatenates several chunks' caches before one batched decode
+    (:func:`assemble_decode_pool` / :func:`decode_pool`)."""
+    x, (ks, vs) = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
+    return _head_logits(params, x[:, -1, :]), ks, vs
 
-    def body(state):
-        step, token, cache, kv_mask, key, done, tokens = state
-        token = jnp.where(done, config.pad_token_id, token)
-        tokens = tokens.at[:, step].set(token)
-        done = done | jnp.any(token[:, None] == eos_ids[None, :], axis=-1)
 
-        pos = jnp.broadcast_to(
-            (next_positions + step)[None, :, None].astype(jnp.int32), (3, b, 1)
-        )
-        kv_mask = kv_mask.at[:, l + step].set(1)
-        logits, cache = decode_step(
-            params, token, pos, cache, jnp.array(l + step, jnp.int32), kv_mask, config
-        )
-        key, subkey = jax.random.split(key)
-        next_token = _sample_token(logits, subkey, temperature, top_p, do_sample)
-        return step + 1, next_token, cache, kv_mask, key, done, tokens
+@functools.partial(jax.jit, static_argnames=("cache_len",))
+def assemble_decode_pool(
+    kv_chunks: tuple,
+    masks: tuple,
+    cache_len: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge per-chunk prefill caches into one decode pool.
 
-    tokens0 = jnp.full((b, max_new_tokens), config.pad_token_id, jnp.int32)
-    done0 = jnp.zeros((b,), jnp.bool_)
-    state = (jnp.array(0, jnp.int32), token0, cache, kv_mask0, rng_key, done0, tokens0)
-    *_, tokens = jax.lax.while_loop(cond, body, state)
-    return tokens
+    ``kv_chunks`` is a tuple of (ks, vs) pairs, each [num_layers, B_i, Hkv, L_i, D]
+    with LEFT-padded prompts; ``masks`` the matching [B_i, L_i] attention masks.
+    Each chunk is FRONT-padded on the sequence axis to the longest prompt bucket
+    (so every row's last prompt token lands at the same position — the decode
+    loop's point-writes then use one static position for all rows) and
+    right-padded to ``cache_len`` capacity. Front padding is masked off by the
+    returned kv_mask, exactly like ordinary left-padding.
+
+    Returns (cache_k, cache_v, kv_mask) at pool batch = sum of chunk batches.
+    """
+    l_max = max(ks.shape[3] for ks, _ in kv_chunks)
+    ks_all, vs_all, mask_all = [], [], []
+    for (ks, vs), mask in zip(kv_chunks, masks):
+        front = l_max - ks.shape[3]
+        back = cache_len - l_max
+        ks_all.append(jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (front, back), (0, 0))))
+        vs_all.append(jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (front, back), (0, 0))))
+        mask_all.append(jnp.pad(mask, ((0, 0), (front, back))))
+    return (
+        jnp.concatenate(ks_all, axis=1),
+        jnp.concatenate(vs_all, axis=1),
+        jnp.concatenate(mask_all, axis=0),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "max_new_tokens", "prompt_len", "do_sample"),
+    donate_argnums=(1,),
+)
+def decode_pool(
+    params: dict,
+    cache: tuple[jax.Array, jax.Array],
+    logits0: jax.Array,
+    kv_mask: jax.Array,
+    next_positions: jax.Array,
+    config: Qwen2VLConfig,
+    max_new_tokens: int,
+    prompt_len: int,
+    eos_ids: jax.Array,
+    rng_key: jax.Array | None = None,
+    do_sample: bool = False,
+    temperature: float = 1.0,
+    top_p: float = 1.0,
+) -> jax.Array:
+    """Decode-until-EOS over a pooled cache (LMMS_OWC_DECODE_POOL serving mode).
+
+    Decouples decode batch from prefill batch: prefill runs at its MXU-optimal
+    bucket batch, while the per-step weight read (the decode roofline at int8
+    7B: ~7.6 GB/step) is amortized over the POOLED rows. ``cache`` comes from
+    :func:`assemble_decode_pool` and is donated; ``prompt_len`` is the common
+    post-assembly prompt bucket (== the assembly's l_max).
+    """
+    if kv_cache_int8_enabled():
+        cache = quantize_kv_cache(*cache)
+    return _decode_loop(
+        params, logits0, cache, kv_mask, next_positions, config, max_new_tokens,
+        prompt_len, eos_ids, rng_key, do_sample, temperature, top_p,
+    )

@@ -61,6 +61,21 @@ def test_retry_wrapper_raises_non_transient_immediately(monkeypatch):
     assert len(calls) == 1
 
 
+def test_sample_image_sizes_mixed_and_uniform():
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    mixed = bench.sample_image_sizes("mixed", 400, rng)
+    assert len(mixed) == 400
+    # A realistic distribution: many distinct sizes, both orientations present.
+    assert len(set(mixed)) >= 10
+    assert any(h > w for h, w in mixed) and any(w > h for h, w in mixed)
+    # Deterministic under a fixed seed (bench warmup/timed sets must agree).
+    again = bench.sample_image_sizes("mixed", 400, np.random.RandomState(0))
+    assert again == mixed
+    assert bench.sample_image_sizes("448", 2, rng) == [(448, 448), (448, 448)]
+
+
 def test_retry_wrapper_exhausts_and_reraises(monkeypatch):
     calls = []
 
