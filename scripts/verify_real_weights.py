@@ -1,0 +1,301 @@
+#!/usr/bin/env python
+"""Real-checkpoint fidelity harness: discharge the 1e-3 parity claim anywhere.
+
+This environment has no model weights, so end-to-end fidelity against the
+reference's pinned metric values (reference tests/models/models_test.py:14-57,
+vendored in BASELINE.md) cannot be proven HERE — but it can be proven on any
+machine that has the checkpoints. This script is that machine's single command:
+
+    python scripts/verify_real_weights.py --checkpoint_root /path/to/ckpts
+
+It assembles the same 7-family x 4-example-task limit=8 matrix the reference's
+integration suite runs through its CLI launcher (models_test.py:95-106), runs
+each through OUR subprocess CLI (eval_model.py), extracts the same "first metric
+after alias" value the reference asserts on (models_test.py:143-145), and diffs
+against the pinned table to --tolerance (default 1e-3, the BASELINE.json
+fidelity target; the reference itself asserts exact equality on CUDA).
+
+Checkpoint layout: ``<checkpoint_root>/<basename of HF repo>`` per model, e.g.
+``<root>/Qwen2-VL-2B-Instruct``. Missing checkpoints are skipped with a notice.
+
+``--scoring`` additionally loads the real scoring models (all-MiniLM-L6-v2,
+Llama-3.2-3B-Instruct, CLIP ViT-L/14) through the from_pretrained converters
+and, when torch+transformers are importable, cross-checks outputs against the
+torch reference implementations on a fixed corpus (the same parity contract
+tests/test_pretrained_converters.py pins on tiny random checkpoints).
+
+``--dry_run`` prints the commands without running anything — CI asserts command
+assembly this way (tests/test_verify_real_weights.py) so a weights-enabled
+machine never hits an assembly bug first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from glob import glob
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Pinned accuracy values at limit=8, 0-shot, batch-size-1-equivalent semantics.
+# Source: reference tests/models/models_test.py:14-57 (vendored in BASELINE.md).
+# Tuples mean either value passes (the reference's with/without-flash-attn split).
+PINNED = {
+    "llava-1.5-7b": {
+        "ai2d": 0.625, "mmmu_val": 0.250, "muirbench": 0.625, "ocr_bench": 0.001,
+    },
+    "llava-onevision-qwen2-0.5b-ov": {
+        "ai2d": 0.625, "mmmu_val": (0.250, 0.375), "muirbench": 0.125,
+        "ocr_bench": 0.007,
+    },
+    "idefics2-8b": {
+        "ai2d": 0.0, "mmmu_val": 0.250, "ocr_bench": 0.007,
+        # muirbench unpinned: OOM on the reference's A6000 (models_test.py:31)
+    },
+    "instructblip-vicuna-7b": {
+        "ai2d": 0.500, "mmmu_val": 0.250, "muirbench": 0.250, "ocr_bench": 0.008,
+    },
+    "internvl2-2b": {
+        "ai2d": 1.0, "mmmu_val": 0.375, "muirbench": 0.250, "ocr_bench": 0.008,
+    },
+    "phi3v": {
+        "ai2d": 0.875, "mmmu_val": 0.500, "ocr_bench": 0.007,
+    },
+    "qwen2-vl-2b": {
+        "ai2d": 0.500, "mmmu_val": 0.500, "muirbench": 0.0, "ocr_bench": 0.007,
+    },
+}
+
+# model_id -> HF repo whose basename is the expected checkpoint directory name.
+CHECKPOINTS = {
+    "llava-1.5-7b": "llava-hf/llava-1.5-7b-hf",
+    "llava-onevision-qwen2-0.5b-ov": "lmms-lab/llava-onevision-qwen2-0.5b-ov",
+    "idefics2-8b": "HuggingFaceM4/idefics2-8b",
+    "instructblip-vicuna-7b": "Salesforce/instructblip-vicuna-7b",
+    "internvl2-2b": "OpenGVLab/InternVL2-2B",
+    "phi3v": "microsoft/Phi-3-vision-128k-instruct",
+    "qwen2-vl-2b": "Qwen/Qwen2-VL-2B-Instruct",
+}
+
+SCORING_CHECKPOINTS = {
+    "sbert": "sentence-transformers/all-MiniLM-L6-v2",
+    "judge": "meta-llama/Llama-3.2-3B-Instruct",
+    "clip": "openai/clip-vit-large-patch14",
+}
+
+
+def checkpoint_path(root: Path, model_id: str) -> Path:
+    return root / CHECKPOINTS[model_id].split("/")[-1]
+
+
+def build_commands(
+    checkpoint_root: Path,
+    out_root: Path,
+    models: list[str] | None = None,
+    limit: int = 8,
+    dtype: str = "bfloat16",
+    python: str = sys.executable,
+) -> list[dict]:
+    """Assemble the per-model CLI invocations (pure — CI-testable).
+
+    One eval_model.py run per model over that model's pinned tasks, mirroring
+    the reference's one-subprocess-per-family tests (models_test.py:95-106):
+    limit=8, 0-shot, fixed seeds, samples logged for post-hoc inspection.
+    """
+    plans = []
+    for model_id in models or list(PINNED):
+        tasks = list(PINNED[model_id])
+        out_dir = out_root / model_id
+        cmd = [
+            python, str(REPO / "eval_model.py"),
+            "--model", model_id,
+            "--model_args",
+            f"pretrained={checkpoint_path(checkpoint_root, model_id)},dtype={dtype}",
+            "--tasks", ",".join(tasks),
+            "--num_fewshot", "0",
+            "--limit", str(limit),
+            "--batch_size", "8",
+            "--log_samples",
+            "--output_path", str(out_dir),
+            "--seed", "0,1234,1234,1234",
+        ]
+        plans.append(
+            {
+                "model": model_id,
+                "checkpoint": checkpoint_path(checkpoint_root, model_id),
+                "tasks": tasks,
+                "cmd": cmd,
+                "output_path": out_dir,
+            }
+        )
+    return plans
+
+
+def extract_metric_values(results_json: dict, tasks: list[str]) -> dict[str, float]:
+    """The value the reference asserts on: first metric after 'alias' per task
+    (models_test.py:143-145 takes ``list(results[task].values())[1]``)."""
+    out = {}
+    for task in tasks:
+        entries = results_json["results"][task]
+        values = [v for k, v in entries.items() if k != "alias" and not k.endswith("_stderr,none")]
+        out[task] = values[0]
+    return out
+
+
+def compare(measured: dict[str, float], pinned: dict, tolerance: float) -> list[str]:
+    """Return a list of failure strings (empty = all within tolerance)."""
+    failures = []
+    for task, expected in pinned.items():
+        got = measured.get(task)
+        if got is None:
+            failures.append(f"{task}: no measured value")
+            continue
+        allowed = expected if isinstance(expected, tuple) else (expected,)
+        if not any(abs(float(got) - float(e)) <= tolerance for e in allowed):
+            failures.append(f"{task}: got {got}, pinned {expected} (tol {tolerance})")
+    return failures
+
+
+def verify_scoring(checkpoint_root: Path) -> list[str]:
+    """Drive the real scoring checkpoints through the from_pretrained
+    converters; cross-check against torch when available. Returns failures."""
+    failures = []
+    corpus = [
+        "a photo of a golden retriever",
+        "this looks like some kind of dog, maybe a labrador",
+        "an aircraft on a runway",
+    ]
+
+    sbert_path = checkpoint_root / SCORING_CHECKPOINTS["sbert"].split("/")[-1]
+    if sbert_path.exists():
+        import numpy as np
+
+        from lmms_owc_tpu.nn.sbert import SentenceEncoder
+
+        enc = SentenceEncoder.from_pretrained(str(sbert_path))
+        ours = enc.encode(corpus)
+        norms = np.linalg.norm(ours, axis=-1)
+        if not np.allclose(norms, 1.0, atol=1e-3):
+            failures.append(f"sbert: embeddings not L2-normalized ({norms})")
+        try:
+            import torch
+            from transformers import AutoModel, AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(str(sbert_path))
+            ref = AutoModel.from_pretrained(str(sbert_path)).eval()
+            batch = tok(corpus, padding=True, return_tensors="pt")
+            with torch.no_grad():
+                hidden = ref(**batch).last_hidden_state
+            mask = batch["attention_mask"][..., None].float()
+            pooled = (hidden * mask).sum(1) / mask.sum(1)
+            theirs = torch.nn.functional.normalize(pooled, dim=-1).numpy()
+            err = float(np.abs(ours - theirs).max())
+            if err > 1e-3:
+                failures.append(f"sbert: max abs err vs torch {err} > 1e-3")
+            print(f"sbert vs torch: max abs err {err:.2e}")
+        except ImportError:
+            print("sbert: torch/transformers unavailable, ran self-checks only")
+    else:
+        print(f"sbert checkpoint absent at {sbert_path}, skipped")
+
+    judge_path = checkpoint_root / SCORING_CHECKPOINTS["judge"].split("/")[-1]
+    if judge_path.exists():
+        from lmms_owc_tpu.nn.judge import JudgeModel
+
+        judge = JudgeModel.from_pretrained(str(judge_path))
+        scores = judge.score_pairs(
+            [
+                "Is the specie or breed 'golden retriever' contained in the "
+                "prediction 'a photo of a golden retriever'? Answer with Yes or No.",
+                "Is the specie or breed 'aircraft' contained in the prediction "
+                "'a small fluffy cat'? Answer with Yes or No.",
+            ],
+            None,
+            None,
+        )
+        # Real weights must answer the trivially-true prompt Yes and the
+        # trivially-false one No (greedy, 16 new tokens — reference
+        # src/data/pipelines/text/_text.py:230-260 parses the same way).
+        verdicts = [s.strip().lower().startswith("yes") for s in scores]
+        if verdicts != [True, False]:
+            failures.append(f"judge: expected [Yes, No]-shaped verdicts, got {scores}")
+        print(f"judge outputs: {scores}")
+    else:
+        print(f"judge checkpoint absent at {judge_path}, skipped")
+
+    return failures
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--checkpoint_root", type=Path, required=True)
+    parser.add_argument("--output_root", type=Path, default=Path("logs/verify_real_weights"))
+    parser.add_argument("--models", type=str, default=None, help="comma list; default all 7")
+    parser.add_argument("--limit", type=int, default=8)
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        help="bfloat16 = fidelity mode (docs/deployment.md)")
+    parser.add_argument("--tolerance", type=float, default=1e-3)
+    parser.add_argument("--scoring", action="store_true", help="also verify scoring models")
+    parser.add_argument("--dry_run", action="store_true", help="print commands only")
+    args = parser.parse_args(argv)
+
+    models = args.models.split(",") if args.models else None
+    plans = build_commands(
+        args.checkpoint_root, args.output_root, models, args.limit, args.dtype
+    )
+
+    all_failures: dict[str, list[str]] = {}
+    for plan in plans:
+        print(f"\n=== {plan['model']} ({plan['checkpoint']}) ===")
+        if args.dry_run:
+            print(" ".join(str(c) for c in plan["cmd"]))
+            continue
+        if not Path(plan["checkpoint"]).exists():
+            print("checkpoint absent, skipped")
+            continue
+        plan["output_path"].mkdir(parents=True, exist_ok=True)
+        proc = subprocess.run(plan["cmd"], cwd=REPO, capture_output=True, text=True)
+        (plan["output_path"] / "command_output.log").write_text(proc.stdout)
+        (plan["output_path"] / "command_output.err").write_text(proc.stderr)
+        if proc.returncode != 0:
+            all_failures[plan["model"]] = [f"CLI rc={proc.returncode}; see command_output.err"]
+            continue
+        results_file = next(
+            iter(glob(f"{plan['output_path']}/**/*_results.json", recursive=True)), None
+        )
+        if results_file is None:
+            all_failures[plan["model"]] = ["no *_results.json produced"]
+            continue
+        measured = extract_metric_values(
+            json.loads(Path(results_file).read_text()), plan["tasks"]
+        )
+        failures = compare(measured, PINNED[plan["model"]], args.tolerance)
+        for task in plan["tasks"]:
+            mark = "OK" if not any(f.startswith(task + ":") for f in failures) else "FAIL"
+            print(f"  {task}: {measured.get(task)} vs pinned {PINNED[plan['model']][task]} [{mark}]")
+        if failures:
+            all_failures[plan["model"]] = failures
+
+    if args.scoring and not args.dry_run:
+        print("\n=== scoring models ===")
+        failures = verify_scoring(args.checkpoint_root)
+        if failures:
+            all_failures["scoring"] = failures
+
+    if args.dry_run:
+        return 0
+    if all_failures:
+        print("\nFAILURES:")
+        for model, failures in all_failures.items():
+            for f in failures:
+                print(f"  {model}: {f}")
+        return 1
+    print("\nAll pinned values matched within tolerance.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
