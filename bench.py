@@ -300,6 +300,14 @@ def main() -> None:
 
     preset = os.environ.get("BENCH_PRESET", "qwen2-vl-7b")
     batch_size = int(os.environ.get("BENCH_BATCH", "48"))
+    # Decode-pool serving (round 4): prefill at the per-chunk B=48 buckets,
+    # decode two chunks pooled (B=96) so the ~7.6 GB/step int8-7B weight read
+    # amortizes over twice the rows. Interleaved hardware A/B: control 23.60 →
+    # pool=2 25.91 → control 22.09 (+10-17% e2e); token-identical to unpooled
+    # (tests/test_decode_pool.py). Pool=3 (B=144) OOMs the 16 GB chip.
+    os.environ.setdefault(
+        "LMMS_OWC_DECODE_POOL", os.environ.get("BENCH_DECODE_POOL", "2")
+    )
     # Multiple macro-batches: real eval tasks run thousands of images, so the
     # number to report is the pipelined steady state (uploads and host prep
     # hidden behind decode), not the first-chunk fill. 8 chunks of 48: the 7B
