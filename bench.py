@@ -219,12 +219,16 @@ def bench_latency() -> None:
 
     n_reqs = int(os.environ.get("BENCH_REQS", "24"))
     image_hw = int(os.environ.get("BENCH_IMAGE_HW", "448"))
-    # Default bf16 (the 2B fits); BENCH_INT8/BENCH_INT4 probe quantized serving
-    # at batch 1, where decode is weight-HBM-bound and the int4 matmul kernel
-    # already dispatches in the small-M regime.
+    # Precision A/B at batch 1 (round 4, interleaved on hardware): bf16 364/362
+    # ms p50, int8 263.7 ms (-27.5%: batch-1 decode is weight-HBM-bound and
+    # int8 halves the per-step read), int4 403 ms (+11%: v5e has no int4 MXU
+    # path, so dequant is VPU work on the critical step). int8 is the serving
+    # default (throughput mode, <5% logits drift — see docs/deployment.md);
+    # BENCH_INT8=0 restores bf16 fidelity mode, BENCH_INT4=1 probes 4-bit.
     model = get_model(
         "qwen2-vl-2b", batch_size=1, random_init=True, dtype="bfloat16",
-        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "0"))),
+        load_in_8bit=bool(int(os.environ.get("BENCH_INT8", "1")))
+        and not bool(int(os.environ.get("BENCH_INT4", "0"))),
         load_in_4bit=bool(int(os.environ.get("BENCH_INT4", "0"))),
     )
 

@@ -765,7 +765,7 @@ class Qwen2VL(Model):
         next_pos_pool = jnp.asarray(np.concatenate(next_all), jnp.int32)
 
         self._rng, subkey = jax.random.split(self._rng)
-        tokens = qvl.decode_pool(
+        tokens, _ = qvl.decode_pool(
             self.params,
             (cache_k, cache_v),
             logits0,

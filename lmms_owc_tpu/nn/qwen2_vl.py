@@ -1315,7 +1315,9 @@ def _decode_loop(
     """Decode-until-EOS while-loop shared by :func:`greedy_generate` (fused
     prefill+decode, the default path) and :func:`decode_pool` (decoupled decode
     over a pooled cache). ``prompt_len`` is the static cache position of the
-    first generated token (every row's prompt ends at ``prompt_len - 1``)."""
+    first generated token (every row's prompt ends at ``prompt_len - 1``).
+    Returns ``(tokens, final_cache)`` — the cache flows out so callers that
+    donate it (decode_pool) get input->output aliasing instead of a copy."""
     b = logits.shape[0]
     if rng_key is None:
         rng_key = jax.random.PRNGKey(0)
@@ -1352,8 +1354,8 @@ def _decode_loop(
     tokens0 = jnp.full((b, max_new_tokens), config.pad_token_id, jnp.int32)
     done0 = jnp.zeros((b,), jnp.bool_)
     state = (jnp.array(0, jnp.int32), token0, cache, kv_mask, rng_key, done0, tokens0)
-    *_, tokens = jax.lax.while_loop(cond, body, state)
-    return tokens
+    _, _, final_cache, *_, tokens = jax.lax.while_loop(cond, body, state)
+    return tokens, final_cache
 
 
 @functools.partial(
@@ -1391,10 +1393,11 @@ def greedy_generate(
         cache = quantize_kv_cache(*cache)
 
     kv_mask0 = jnp.pad(attention_mask, ((0, 0), (0, cache_len - l)))
-    return _decode_loop(
+    tokens, _ = _decode_loop(
         params, logits, cache, kv_mask0, next_positions, config, max_new_tokens,
         l, eos_ids, rng_key, do_sample, temperature, top_p,
     )
+    return tokens
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -1465,7 +1468,7 @@ def decode_pool(
     do_sample: bool = False,
     temperature: float = 1.0,
     top_p: float = 1.0,
-) -> jax.Array:
+) -> tuple[jax.Array, tuple]:
     """Decode-until-EOS over a pooled cache (LMMS_OWC_DECODE_POOL serving mode).
 
     Decouples decode batch from prefill batch: prefill runs at its MXU-optimal
@@ -1473,6 +1476,12 @@ def decode_pool(
     7B: ~7.6 GB/step) is amortized over the POOLED rows. ``cache`` comes from
     :func:`assemble_decode_pool` and is donated; ``prompt_len`` is the common
     post-assembly prompt bucket (== the assembly's l_max).
+
+    Returns ``(tokens, final_cache)``. The final cache is returned ONLY so the
+    donated input cache can alias an output — otherwise XLA keeps a second
+    full-size copy of the pool cache live inside the program (~2 GB at pool=2,
+    ~3 GB at pool=3 on the 7B) to initialize the while-loop carry. Callers
+    drop it.
     """
     if kv_cache_int8_enabled():
         cache = quantize_kv_cache(*cache)
