@@ -161,13 +161,23 @@ class JudgeModel:
         from lmms_owc_tpu.nn.llama import init_llama_params, llama_config_from_hf
 
         config = llama_config_from_hf(dict(LLAMA32_3B_CONFIG))
-        params = init_llama_params(jax.random.PRNGKey(seed), config, dtype or jnp.bfloat16)
         if load_in_8bit:
-            # Params were initialized on the default (accelerator) device, so
-            # this quantizes in place there — no host round-trip.
-            from lmms_owc_tpu.ops.quant import quantize_params_int8
+            # Generate + quantize every tensor directly on device: the bf16
+            # 3B tree (~6.4 GB) and the int8 tree never coexist. init-then-
+            # quantize OOM'd a 16 GB v5e here (bf16 tree + int8 tree + the
+            # f32 init transients), same lesson as the 7B flagship.
+            from lmms_owc_tpu.ops.quant import init_quantized_on_device
 
-            params = quantize_params_int8(params)
+            spec = jax.eval_shape(
+                lambda: init_llama_params(
+                    jax.random.PRNGKey(0), config, dtype or jnp.bfloat16
+                )
+            )
+            params = init_quantized_on_device(spec, seed, dtype=dtype or jnp.bfloat16)
+        else:
+            params = init_llama_params(
+                jax.random.PRNGKey(seed), config, dtype or jnp.bfloat16
+            )
         return cls(params, config.to_decoder_config(), _FallbackJudgeTokenizer(),
                    data_parallel=data_parallel)
 

@@ -252,6 +252,40 @@ class TestJudgeFromPretrained:
         out = judge.score_pairs(["is w3 contained in w3 w7? yes or no"], None, None)
         assert len(out) == 1 and isinstance(out[0], str)
 
+    def test_random_init_8bit_on_device(self, monkeypatch):
+        """random_init(load_in_8bit=True) must build the tree via on-device
+        quantized init (eval_shape spec -> init_quantized_on_device): the bf16
+        and int8 trees never coexist. The init-then-quantize form OOM'd a
+        16 GB v5e with the real 3B config (round-4 judge A/B)."""
+        import lmms_owc_tpu.nn.judge as judge_mod
+
+        tiny = dict(
+            vocab_size=512, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, intermediate_size=64,
+            rope_theta=10000.0, rms_norm_eps=1e-5, max_position_embeddings=2048,
+            tie_word_embeddings=True, eos_token_id=5, pad_token_id=0,
+        )
+        monkeypatch.setattr(judge_mod, "LLAMA32_3B_CONFIG", tiny)
+        judge = judge_mod.JudgeModel.random_init(
+            seed=0, load_in_8bit=True, data_parallel=False
+        )
+        attn = judge.params["layers"]["attn"]
+        leaf = (attn.get("qkv") or attn["q"])["w_q8"]
+        assert leaf["q"].dtype == jnp.int8
+
+        # The fallback tokenizer hashes into the real 128k vocab; remap its ids
+        # into the tiny test vocab so the embedding lookup stays in range.
+        class _TinyTok(judge.tokenizer.__class__):
+            eos_token_id = 5
+            pad_token_id = 0
+
+            def encode(self, text, add_special_tokens=True):
+                return [tok % 512 for tok in super().encode(text, add_special_tokens)]
+
+        judge.tokenizer = _TinyTok()
+        out = judge.score_pairs(["is w3 contained in w3 w7? yes or no"], None, None)
+        assert len(out) == 1 and isinstance(out[0], str)
+
     def test_tokenizer_roundtrip_has_eot(self, llama_checkpoint):
         """The saved tokenizer must resolve <|eot_id|> so the judge's stop set is real."""
         from transformers import AutoTokenizer

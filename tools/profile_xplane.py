@@ -69,6 +69,30 @@ def aggregate(spaces, merge_digits: bool = True):
     return totals, counts, device_time
 
 
+def aggregate_modules(spaces):
+    """Per-XLA-module device time: the per-stage view (vision / prefill /
+    decode / pool programs are separate jit modules). Reads the 'XLA Modules'
+    line of each TPU plane; falls back to empty when the runtime didn't emit
+    module lines (older libtpu)."""
+    totals: dict[str, float] = defaultdict(float)
+    counts: dict[str, int] = defaultdict(int)
+    for _, xs in spaces:
+        for plane in xs.planes:
+            if "TPU" not in plane.name and "/device" not in plane.name.lower():
+                continue
+            ev_meta = {k: v.name for k, v in plane.event_metadata.items()}
+            for line in plane.lines:
+                if "module" not in line.name.lower():
+                    continue
+                for ev in line.events:
+                    name = ev_meta.get(ev.metadata_id, str(ev.metadata_id))
+                    # strip the uniquing suffixes: jit_prefill(137438...) etc.
+                    name = re.sub(r"\(\d+\)$", "", name)
+                    totals[name] += ev.duration_ps / 1e12
+                    counts[name] += 1
+    return totals, counts
+
+
 def busy_idle(spaces) -> list[tuple[str, float, float]]:
     """Per-TPU-plane (name, wall_s, busy_s): busy = interval-UNION of the XLA
     Ops line's events (parents nest children, so a plain sum double-counts;
@@ -119,6 +143,12 @@ def main() -> None:
             f"plane {name}: wall {wall*1e3:.0f} ms, busy {busy*1e3:.0f} ms "
             f"({busy/wall:.1%}), idle {idle*1e3:.0f} ms ({idle/wall:.1%})"
         )
+    mod_totals, mod_counts = aggregate_modules(spaces)
+    if mod_totals:
+        print("\nper-module device time:")
+        print(f"{'module':<64} {'ms':>9} {'calls':>7}")
+        for name, secs in sorted(mod_totals.items(), key=lambda kv: -kv[1])[:20]:
+            print(f"{name[:64]:<64} {secs * 1e3:>9.2f} {mod_counts[name]:>7}")
     totals, counts, device_time = aggregate(spaces)
     rows = sorted(totals.items(), key=lambda kv: kv[1], reverse=True)
     if args.filter:
