@@ -149,15 +149,20 @@ def bench_judge() -> None:
 
     from lmms_owc_tpu.nn.judge import JudgeModel
 
-    n_pairs = int(os.environ.get("BENCH_PAIRS", "256"))
-    # BENCH_JUDGE_INT8 serves the judge with int8 linear weights (decode is
-    # weight-HBM-bound, so this halves the per-step roofline); BENCH_JUDGE_BATCH
-    # amortizes the per-step weight read over more rows.
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "1024"))
+    # Judge serving A/B (round 4, interleaved on hardware): bf16 batch-64
+    # control 115.6/116.8 pairs/sec -> int8 weights 127.8 -> +batch 128 138.6
+    # -> +W8A8 173.6/173.3 -> batch 256 188.7/187.3 (batch 384 regresses to
+    # 182.4). int8 + W8A8 + batch 256 is the serving default; BENCH_JUDGE_INT8=0
+    # restores the bf16 fidelity mode. BENCH_JUDGE_INT8 serves the judge with
+    # int8 linear weights (decode is weight-HBM-bound, so this halves the
+    # per-step roofline); BENCH_JUDGE_BATCH amortizes the per-step weight read
+    # over more rows; BENCH_JUDGE_INT8_ACT runs prefill W8A8 on the s8 MXU.
     judge = JudgeModel.random_init(
-        seed=0, load_in_8bit=bool(int(os.environ.get("BENCH_JUDGE_INT8", "0")))
+        seed=0, load_in_8bit=bool(int(os.environ.get("BENCH_JUDGE_INT8", "1")))
     )
-    judge.batch_size = int(os.environ.get("BENCH_JUDGE_BATCH", str(judge.batch_size)))
-    if bool(int(os.environ.get("BENCH_JUDGE_INT8_ACT", "0"))):
+    judge.batch_size = int(os.environ.get("BENCH_JUDGE_BATCH", "256"))
+    if bool(int(os.environ.get("BENCH_JUDGE_INT8_ACT", os.environ.get("BENCH_JUDGE_INT8", "1")))):
         # W8A8 judge: prefill is ~half the per-chunk roofline (26 TFLOP per
         # 64-pair chunk at these prompt lengths), and the s8 x s8 MXU runs it
         # at 2x. Same LLM.int8-style numerics class as the reference's
