@@ -828,14 +828,78 @@ class Qwen2VL(Model):
             rows.append((ids, row_spans, grids))
         return rows, vision_flat
 
+    def _estimate_prompt_tokens(self, args: tuple) -> int:
+        """Collator sort key: estimated total prompt tokens (text + vision).
+
+        Each prefill chunk pads every row to the chunk's longest prompt bucket,
+        so under a mixed-resolution workload a single large image drags a whole
+        chunk to the 448 bucket while text-only sorting scatters sizes randomly
+        (measured: prefill device time 9.8 s vs 5.3 s uniform at equal FLOPs,
+        ROUND_NOTES r4). Sorting by text+vision tokens groups like-size images
+        into the same chunk so short prompts stay in short buckets. Vision
+        tokens come from the smart-resize arithmetic on ``img.size`` (a lazy
+        PIL header read for file-backed tasks; datasets that decode eagerly pay
+        one extra doc access — LMMS_OWC_SORT_BY_VISION=0 restores text-only).
+        """
+        est = len(args[0]) // 4
+        try:
+            visuals = self._fetch_visuals(args)
+        except Exception:
+            return est
+        from lmms_owc_tpu.ops.image import smart_resize
+
+        v = self.config.vision
+        merge_sq = v.spatial_merge_size ** 2
+        factor = v.patch_size * v.spatial_merge_size
+        for img in visuals:
+            try:
+                width, height = img.size
+                rh, rw = smart_resize(
+                    height, width, factor=factor,
+                    min_pixels=self.min_pixels, max_pixels=self.max_pixels,
+                )
+                est += (rh // v.patch_size) * (rw // v.patch_size) // merge_sq
+            except Exception:
+                continue
+        return est
+
     def generate_until(self, requests) -> list[str]:
+        batch_fn = None
+        if self.batch_size > 1 and bool(int(os.environ.get("LMMS_OWC_SORT_BY_VISION", "1"))):
+            est_cache: dict[int, int] = {}
+
+            def _est(args) -> int:
+                key = id(args)
+                if key not in est_cache:
+                    est_cache[key] = self._estimate_prompt_tokens(args)
+                return est_cache[key]
+
+            sort_fn = lambda args: -_est(args)  # noqa: E731
+            # Token-budget chunking: each batch's row count is set by its
+            # leader (longest item — first after the descending sort) so
+            # rows x prompt_bucket stays ~= batch_size x 320, the uniform-448
+            # chunk's token footprint. Without this, vision-sorting groups the
+            # largest images into one full-width chunk ([48, 512] prefill +
+            # its KV pool) and OOMs the 16 GB chip; with it a 512-bucket chunk
+            # runs 30 rows and a 192-bucket chunk 80 — constant workspace.
+            budget = self.batch_size * 320
+            state = {"flushed": -1, "cap": self.batch_size}
+
+            def batch_fn(n_flushed, args):
+                if n_flushed != state["flushed"]:  # first item of a new batch
+                    state["flushed"] = n_flushed
+                    bucket = pad_to_bucket(_est(args) + 48)
+                    state["cap"] = max(8, min(2 * self.batch_size, budget // bucket))
+                return state["cap"]
+        else:
+            sort_fn = lambda args: -len(args[0])  # noqa: E731
         collator = Collator(
             [req.args for req in requests],
-            sort_fn=lambda args: -len(args[0]),
+            sort_fn=sort_fn,
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        chunks = list(collator.get_batched(n=self.batch_size))
+        chunks = list(collator.get_batched(n=self.batch_size, batch_fn=batch_fn))
 
         pool_n = int(os.environ.get("LMMS_OWC_DECODE_POOL", "1"))
         if pool_n > 1:
