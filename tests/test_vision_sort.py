@@ -76,6 +76,23 @@ def test_estimate_survives_missing_task(sort_model):
     assert sort_model._estimate_prompt_tokens(args) == len("some context") // 4
 
 
+def test_pooled_variable_row_chunks_token_identical(sort_model, monkeypatch):
+    """The bench default combines decode-pool=2 with vision-sorted token-budget
+    chunking, which pools chunks of DIFFERENT row counts (a 448-bucket chunk
+    runs fewer rows than a 192-bucket one). The pooled+sorted path must match
+    the unpooled text-only-sorted path token for token."""
+    sizes = [(112, 112), (56, 56), (112, 112), (56, 56), (84, 112), (56, 84)]
+    reqs = _make_requests(sort_model, sizes)
+    monkeypatch.setenv("LMMS_OWC_SORT_BY_VISION", "0")
+    monkeypatch.delenv("LMMS_OWC_DECODE_POOL", raising=False)
+    base = sort_model.generate_until(reqs)
+    monkeypatch.setenv("LMMS_OWC_SORT_BY_VISION", "1")
+    monkeypatch.setenv("LMMS_OWC_DECODE_POOL", "2")
+    pooled_sorted = sort_model.generate_until(reqs)
+    monkeypatch.delenv("LMMS_OWC_DECODE_POOL", raising=False)
+    assert pooled_sorted == base
+
+
 def test_token_budget_caps_chunk_rows(sort_model, monkeypatch):
     """A chunk of long-prompt rows must shrink so rows x bucket stays within
     the batch_size x 320 budget (the full-width [B, 512] chunk the plain sort
