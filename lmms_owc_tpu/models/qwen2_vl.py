@@ -476,40 +476,64 @@ class Qwen2VL(Model):
         for idx, (_, hw) in enumerate(resized):
             by_size.setdefault(hw, []).append(idx)
 
-        group_outputs: list = []
-        spans: dict[int, tuple[int, int]] = {}  # image idx -> (flat offset, merged count)
-        flat_offset = 0
+        # Group the TOWER pass by patch bucket, not exact size: a mixed-
+        # resolution chunk otherwise fragments into one small-batch program per
+        # distinct size (measured: 107 tower launches per 384-image mixed run
+        # vs 8 uniform, ROUND_NOTES r4). Patchify stays per exact size (it
+        # needs a common H, W); sizes sharing a bucket then run as ONE batched
+        # tower call with per-row rope freqs and padding masks gathered on
+        # device from a per-size table (only [G, bucket, d] crosses the link).
+        by_bucket: dict[int, list[tuple[list[int], int, object]]] = {}
         for hw, indices in by_size.items():
             stacked = np.stack([resized[i][0] for i in indices])  # [n, C, H, W]
             num_patches = (hw[0] // v.patch_size) * (hw[1] // v.patch_size)
             bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
-            grid = grids[indices[0]]
-
             patches = patchify_images_batch(
                 jnp.asarray(stacked), v.patch_size, v.temporal_patch_size,
                 v.spatial_merge_size, dtype,
             )
             patches = jnp.pad(patches, ((0, 0), (0, bucket - num_patches), (0, 0)))
-            freqs = np.zeros((bucket, v.head_dim // 2), np.float32)
-            freqs[:num_patches] = qvl.vision_rope_cos_sin([grid], v)
-            n = len(indices)
-            if num_patches == bucket:
-                patch_mask = None  # all patches real: skip masked-select on scores
-            else:
-                mask = np.zeros(bucket, np.int32)
-                mask[:num_patches] = 1
-                patch_mask = jnp.broadcast_to(jnp.asarray(mask)[None], (n, bucket))
+            by_bucket.setdefault(bucket, []).append((indices, num_patches, patches))
+
+        group_outputs: list = []
+        spans: dict[int, tuple[int, int]] = {}  # image idx -> (flat offset, merged count)
+        flat_offset = 0
+        for bucket, entries in by_bucket.items():
+            patches = (
+                entries[0][2]
+                if len(entries) == 1
+                else jnp.concatenate([e[2] for e in entries])
+            )
+            n = patches.shape[0]
+            half_dim = v.head_dim // 2
+            freq_table = np.zeros((len(entries), bucket, half_dim), np.float32)
+            mask_table = np.zeros((len(entries), bucket), np.int32)
+            gids: list[int] = []
+            row_info: list[tuple[int, int]] = []  # (image idx, merged count) per row
+            all_full = True
+            for g, (indices, num_patches, _) in enumerate(entries):
+                freq_table[g, :num_patches] = qvl.vision_rope_cos_sin(
+                    [grids[indices[0]]], v
+                )
+                mask_table[g, :num_patches] = 1
+                all_full = all_full and num_patches == bucket
+                for idx in indices:
+                    gids.append(g)
+                    row_info.append((idx, num_patches // merge_sq))
+            gids_dev = jnp.asarray(np.asarray(gids, np.int32))
+            freqs = jnp.take(jnp.asarray(freq_table), gids_dev, axis=0)
+            patch_mask = (
+                None  # all patches real: skip masked-select on scores
+                if all_full
+                else jnp.take(jnp.asarray(mask_table), gids_dev, axis=0)
+            )
             out = qvl.vision_encode_batch(
-                self.params["vision"],
-                patches,
-                jnp.broadcast_to(jnp.asarray(freqs)[None], (n, bucket, freqs.shape[1])),
-                patch_mask,
-                v,
+                self.params["vision"], patches, freqs, patch_mask, v
             )  # [n, bucket/merge_sq, hidden]
             merged_bucket = bucket // merge_sq
             group_outputs.append(out.reshape(n * merged_bucket, -1))
-            for row, idx in enumerate(indices):
-                spans[idx] = (flat_offset + row * merged_bucket, num_patches // merge_sq)
+            for row, (idx, merged_count) in enumerate(row_info):
+                spans[idx] = (flat_offset + row * merged_bucket, merged_count)
             flat_offset += n * merged_bucket
 
         vision_flat = (

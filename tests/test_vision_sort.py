@@ -93,6 +93,45 @@ def test_pooled_variable_row_chunks_token_identical(sort_model, monkeypatch):
     assert pooled_sorted == base
 
 
+def test_vision_tower_batches_by_bucket_not_size(sort_model, monkeypatch):
+    """Distinct resized sizes that share a patch bucket must run as ONE batched
+    tower call (mixed-res xplane: 107 per-size programs per 384-image run vs 8
+    uniform, ROUND_NOTES r4), and the bucket-grouped outputs must match a
+    per-image encode exactly."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    calls = []
+    orig = qvl.vision_encode_batch
+
+    def spy(params, patches, freqs, mask, cfg):
+        calls.append(int(patches.shape[0]))
+        return orig(params, patches, freqs, mask, cfg)
+
+    monkeypatch.setattr(qvl, "vision_encode_batch", spy)
+    rng = np.random.RandomState(7)
+    # 16, 36, 64 patches -> all bucket 64; 256 patches -> bucket 256.
+    sizes = [(56, 56), (84, 84), (112, 112), (56, 56), (224, 224)]
+    images = [
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+        for h, w in sizes
+    ]
+    flat, spans, grids = sort_model._encode_images_flat(images)
+    assert sorted(calls) == [1, 4]  # one launch per bucket, not 4 per-size ones
+
+    calls.clear()
+    per_image = [sort_model._encode_images_flat([img]) for img in images]
+    for i, (ref_flat, ref_spans, _) in enumerate(per_image):
+        off, count = spans[i]
+        ref_off, ref_count = ref_spans[0]
+        assert count == ref_count
+        np.testing.assert_allclose(
+            np.asarray(flat[off : off + count]),
+            np.asarray(ref_flat[ref_off : ref_off + ref_count]),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+
+
 def test_token_budget_caps_chunk_rows(sort_model, monkeypatch):
     """A chunk of long-prompt rows must shrink so rows x bucket stays within
     the batch_size x 320 budget (the full-width [B, 512] chunk the plain sort
