@@ -113,6 +113,14 @@ SPECIAL_IDS = {
 }
 
 PATCH_BUCKETS = (64, 128, 256, 512, 1024, 2048, 4096)
+# Vision-tower batch (row) buckets: real-world size distributions otherwise
+# compile one tower program per distinct row count (~12.5% granularity keeps
+# the replicated-row waste under ~1/8 of tower FLOPs; 48 stays exact so the
+# uniform-448 flagship chunk shape is untouched).
+VISION_ROW_BUCKETS = (
+    1, 2, 3, 4, 6, 8, 10, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64,
+    80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+)
 
 
 def _fused_assemble(table, ids, flat, imap):
@@ -520,6 +528,16 @@ class Qwen2VL(Model):
                 for idx in indices:
                     gids.append(g)
                     row_info.append((idx, num_patches // merge_sq))
+            # Pad the batch axis to a row bucket by REPLICATING the last row
+            # (real data, so no all-masked softmax rows); padded rows occupy
+            # flat slots after the real rows and are never referenced by spans.
+            n_rows = pad_to_bucket(n, VISION_ROW_BUCKETS)
+            if n_rows > n:
+                patches = jnp.concatenate(
+                    [patches, jnp.broadcast_to(patches[-1], (n_rows - n, *patches.shape[1:]))]
+                )
+                gids.extend([gids[-1]] * (n_rows - n))
+                n = n_rows
             gids_dev = jnp.asarray(np.asarray(gids, np.int32))
             freqs = jnp.take(jnp.asarray(freq_table), gids_dev, axis=0)
             patch_mask = (

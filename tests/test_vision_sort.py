@@ -132,6 +132,39 @@ def test_vision_tower_batches_by_bucket_not_size(sort_model, monkeypatch):
         )
 
 
+def test_vision_row_bucketing_pads_batch_and_preserves_outputs(sort_model, monkeypatch):
+    """Tower batch sizes snap to VISION_ROW_BUCKETS (bounded compile-shape set
+    for arbitrary size distributions); padded rows replicate real data and are
+    never referenced by the returned spans."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    calls = []
+    orig = qvl.vision_encode_batch
+
+    def spy(params, patches, freqs, mask, cfg):
+        calls.append(int(patches.shape[0]))
+        return orig(params, patches, freqs, mask, cfg)
+
+    monkeypatch.setattr(qvl, "vision_encode_batch", spy)
+    rng = np.random.RandomState(11)
+    sizes = [(56, 56)] * 5  # 5 rows -> row bucket 6
+    images = [
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8))
+        for h, w in sizes
+    ]
+    flat, spans, _ = sort_model._encode_images_flat(images)
+    assert calls == [6]
+    assert len(spans) == 5
+    single = sort_model._encode_images_flat([images[2]])
+    off, count = spans[2]
+    np.testing.assert_allclose(
+        np.asarray(flat[off : off + count]),
+        np.asarray(single[0][: count]),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+
+
 def test_token_budget_caps_chunk_rows(sort_model, monkeypatch):
     """A chunk of long-prompt rows must shrink so rows x bucket stays within
     the batch_size x 320 budget (the full-width [B, 512] chunk the plain sort
