@@ -123,6 +123,66 @@ VISION_ROW_BUCKETS = (
 )
 
 
+GEN_LEN_BUCKETS = (64, 128, 256, 512)
+
+
+def plan_decode_pools(
+    chunks: list, pool_n: int, batch_size: int, bucket_fn=None
+) -> list[list]:
+    """Group consecutive same-gen-kwargs chunks into decode pools.
+
+    The baseline rule pools up to ``pool_n`` chunks (the user's explicit
+    envelope — always honored verbatim). A pool then EXTENDS past ``pool_n``
+    while its row count is still below the uniform pool's rows
+    (``pool_n x batch_size``): mixed-resolution token-budget chunks run fewer
+    rows per chunk (a 512-bucket chunk carries 30 rows at the flagship
+    config), so a fixed chunk count would decode at 60 rows where uniform
+    decodes at 96 and under-amortize the per-step weight read. Extension is
+    capped by an estimated KV footprint of 1.5x the uniform pool's
+    (rows x (prompt bucket + gen bucket)) — the pool=3 footprint measured to
+    fit the 16 GB chip (ROUND_NOTES r4).
+
+    ``bucket_fn(chunk) -> estimated prompt bucket`` comes from the vision-sort
+    estimator when active; without it extension assumes the uniform 320
+    bucket. Rows and buckets are planning estimates only — actual shapes are
+    set downstream by the real tokenization.
+    """
+    pools: list[list] = []
+    cur_key = None
+    rows = 0
+    bucket = 0
+    kv_cap = int(1.5 * pool_n * batch_size * (320 + 64))
+    for chunk in chunks:
+        key = repr(chunk[0][1])
+        n_rows = len(chunk)
+        c_bucket = bucket_fn(chunk) if bucket_fn is not None else 320
+        gk = dict(chunk[0][1] or {})
+        gen_bucket = pad_to_bucket(
+            int(gk.get("max_new_tokens", DEFAULT_MAX_NEW_TOKENS)), GEN_LEN_BUCKETS
+        )
+        if (
+            pools
+            and key == cur_key
+            and (
+                len(pools[-1]) < pool_n
+                or (
+                    rows < pool_n * batch_size
+                    and (rows + n_rows) * (max(bucket, c_bucket) + gen_bucket)
+                    <= kv_cap
+                )
+            )
+        ):
+            pools[-1].append(chunk)
+            rows += n_rows
+            bucket = max(bucket, c_bucket)
+        else:
+            pools.append([chunk])
+            cur_key = key
+            rows = n_rows
+            bucket = c_bucket
+    return pools
+
+
 def _fused_assemble(table, ids, flat, imap):
     import jax.numpy as jnp
 
@@ -742,7 +802,7 @@ class Qwen2VL(Model):
             self._build_batch_inputs(batch, vision_flat)
         )
 
-        cache_len = bucket_len + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
+        cache_len = bucket_len + pad_to_bucket(max_new_tokens, GEN_LEN_BUCKETS)
         self._rng, subkey = jax.random.split(self._rng)
         tokens = qvl.greedy_generate(
             self.params,
@@ -799,7 +859,7 @@ class Qwen2VL(Model):
             next_all.append(next_pos.astype(np.int32))
 
         l_max = max(ks.shape[3] for ks, _ in kv_chunks)
-        cache_len = l_max + pad_to_bucket(max_new_tokens, (64, 128, 256, 512))
+        cache_len = l_max + pad_to_bucket(max_new_tokens, GEN_LEN_BUCKETS)
         cache_k, cache_v, kv_mask = qvl.assemble_decode_pool(
             tuple(kv_chunks), tuple(masks), cache_len
         )
@@ -907,6 +967,7 @@ class Qwen2VL(Model):
 
     def generate_until(self, requests) -> list[str]:
         batch_fn = None
+        pool_bucket_fn = None
         if self.batch_size > 1 and bool(int(os.environ.get("LMMS_OWC_SORT_BY_VISION", "1"))):
             est_cache: dict[int, int] = {}
 
@@ -933,6 +994,9 @@ class Qwen2VL(Model):
                     bucket = pad_to_bucket(_est(args) + 48)
                     state["cap"] = max(8, min(2 * self.batch_size, budget // bucket))
                 return state["cap"]
+
+            def pool_bucket_fn(chunk):
+                return pad_to_bucket(_est(chunk[0]) + 48)
         else:
             sort_fn = lambda args: -len(args[0])  # noqa: E731
         collator = Collator(
@@ -945,7 +1009,9 @@ class Qwen2VL(Model):
 
         pool_n = int(os.environ.get("LMMS_OWC_DECODE_POOL", "1"))
         if pool_n > 1:
-            return collator.get_original(self._generate_pooled(chunks, pool_n))
+            return collator.get_original(
+                self._generate_pooled(chunks, pool_n, pool_bucket_fn)
+            )
 
         # Pipeline: host preprocessing + vision encode (incl. host->device image
         # uploads) of the next chunks overlaps the decode of chunk k (the C++
@@ -965,22 +1031,13 @@ class Qwen2VL(Model):
         )
         return collator.get_original(results)
 
-    def _generate_pooled(self, chunks: list, pool_n: int) -> list[str]:
+    def _generate_pooled(self, chunks: list, pool_n: int, bucket_fn=None) -> list[str]:
         """Decode-pool scheduling: consecutive chunks sharing gen_kwargs are
-        pooled (up to ``pool_n`` per pool) so prefill keeps the per-chunk batch
-        while decode runs the whole pool as one batch (see :meth:`_run_pooled`).
-        The host-prep/vision pipeline moves to pool granularity."""
-        pools: list[list] = []
-        for chunk in chunks:
-            key = repr(chunk[0][1])
-            if (
-                pools
-                and len(pools[-1]) < pool_n
-                and repr(pools[-1][0][0][1]) == key
-            ):
-                pools[-1].append(chunk)
-            else:
-                pools.append([chunk])
+        pooled so prefill keeps the per-chunk batch while decode runs the whole
+        pool as one batch (see :meth:`_run_pooled` and :func:`plan_decode_pools`
+        for the row-target extension rule). The host-prep/vision pipeline moves
+        to pool granularity."""
+        pools = plan_decode_pools(chunks, pool_n, self.batch_size, bucket_fn)
 
         def prepare(pool):
             return [self._prepare_requests_batch(c) for c in pool]
