@@ -659,6 +659,17 @@ class Qwen2VL(Model):
                 jnp.asarray(stacked), v25.patch_size, v25.temporal_patch_size,
                 v25.spatial_merge_size, dtype,
             )  # [n, P, patch_dim], merge units contiguous
+            # Row-bucket the batch axis by replicating the last image (same
+            # compile-shape bound as the 2.0 tower; padded rows are never
+            # referenced by spans). Cross-grid bucket-grouping is NOT applied
+            # here: the window layout (slot_src, W, S) is per-grid, so merging
+            # grids would need W-axis padding plus per-row restore tables.
+            n_rows = pad_to_bucket(n, VISION_ROW_BUCKETS)
+            if n_rows > n:
+                patches = jnp.concatenate(
+                    [patches, jnp.broadcast_to(patches[-1], (n_rows - n, *patches.shape[1:]))]
+                )
+                n = n_rows
             n_units = patches.shape[1] // mu
 
             slot_src, num_windows, s_tokens = qvl25.get_window_layout(grid, v25)

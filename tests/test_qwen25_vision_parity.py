@@ -131,3 +131,35 @@ class TestTinyV25Adapter:
         )
         assert "toy" in results["results"]
         assert isinstance(results["samples"]["toy"][0]["filtered_resps"][0], str)
+
+
+class TestV25RowBucketing:
+    def test_padded_rows_preserve_outputs(self):
+        """5 same-grid images snap to row bucket 6 (replicated last row); the
+        padded row is never referenced by spans and real outputs match a
+        per-image encode."""
+        from PIL import Image
+
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
+
+        model = get_model(
+            "qwen2.5-vl-tiny", batch_size=2, random_init=True, dtype="float32"
+        )
+        rng = np.random.RandomState(5)
+        images = [
+            Image.fromarray(rng.randint(0, 255, (56, 56, 3), dtype=np.uint8))
+            for _ in range(5)
+        ]
+        flat, spans, _ = model._encode_images_flat(images)
+        assert len(spans) == 5
+        single_flat, single_spans, _ = model._encode_images_flat([images[3]])
+        off, count = spans[3]
+        s_off, s_count = single_spans[0]
+        assert count == s_count
+        np.testing.assert_allclose(
+            np.asarray(flat[off : off + count]),
+            np.asarray(single_flat[s_off : s_off + s_count]),
+            rtol=2e-5,
+            atol=2e-5,
+        )
