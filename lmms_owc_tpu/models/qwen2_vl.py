@@ -588,31 +588,52 @@ class Qwen2VL(Model):
                 for idx in indices:
                     gids.append(g)
                     row_info.append((idx, num_patches // merge_sq))
-            # Pad the batch axis to a row bucket by REPLICATING the last row
-            # (real data, so no all-masked softmax rows); padded rows occupy
-            # flat slots after the real rows and are never referenced by spans.
-            n_rows = pad_to_bucket(n, VISION_ROW_BUCKETS)
-            if n_rows > n:
-                patches = jnp.concatenate(
-                    [patches, jnp.broadcast_to(patches[-1], (n_rows - n, *patches.shape[1:]))]
-                )
-                gids.extend([gids[-1]] * (n_rows - n))
-                n = n_rows
-            gids_dev = jnp.asarray(np.asarray(gids, np.int32))
-            freqs = jnp.take(jnp.asarray(freq_table), gids_dev, axis=0)
-            patch_mask = (
-                None  # all patches real: skip masked-select on scores
-                if all_full
-                else jnp.take(jnp.asarray(mask_table), gids_dev, axis=0)
-            )
-            out = qvl.vision_encode_batch(
-                self.params["vision"], patches, freqs, patch_mask, v
-            )  # [n, bucket/merge_sq, hidden]
+            gids_np = np.asarray(gids, np.int32)
+            freq_table_dev = jnp.asarray(freq_table)
+            mask_table_dev = None if all_full else jnp.asarray(mask_table)
             merged_bucket = bucket // merge_sq
-            group_outputs.append(out.reshape(n * merged_bucket, -1))
-            for row, (idx, merged_count) in enumerate(row_info):
-                spans[idx] = (flat_offset + row * merged_bucket, merged_count)
-            flat_offset += n * merged_bucket
+            # Cap each tower call at the uniform-448 envelope (batch_size x
+            # 1024 patch-tokens): one whole-chunk grouped call otherwise scales
+            # tower activations with chunk rows x the largest bucket, and that
+            # transient must coexist with a live decode-pool cache under the
+            # pipelined prepare (mixed-res RESOURCE_EXHAUSTED, r4). Segments of
+            # a fixed cap also keep the compiled shape set bounded.
+            cap = max(1, (self.batch_size * 1024) // bucket)
+            for s in range(0, n, cap):
+                seg_patches = patches[s : s + cap]
+                m = seg_patches.shape[0]
+                seg_gids = gids_np[s : s + cap]
+                # Pad the batch axis to a row bucket by REPLICATING the last
+                # row (real data, so no all-masked softmax rows); padded rows
+                # occupy flat slots after the real rows and are never
+                # referenced by spans.
+                m_rows = pad_to_bucket(m, VISION_ROW_BUCKETS)
+                if m_rows > m:
+                    seg_patches = jnp.concatenate(
+                        [
+                            seg_patches,
+                            jnp.broadcast_to(
+                                seg_patches[-1], (m_rows - m, *seg_patches.shape[1:])
+                            ),
+                        ]
+                    )
+                    seg_gids = np.concatenate(
+                        [seg_gids, np.repeat(seg_gids[-1:], m_rows - m)]
+                    )
+                gids_dev = jnp.asarray(seg_gids)
+                freqs = jnp.take(freq_table_dev, gids_dev, axis=0)
+                patch_mask = (
+                    None  # all patches real: skip masked-select on scores
+                    if all_full
+                    else jnp.take(mask_table_dev, gids_dev, axis=0)
+                )
+                out = qvl.vision_encode_batch(
+                    self.params["vision"], seg_patches, freqs, patch_mask, v
+                )  # [m_rows, bucket/merge_sq, hidden]
+                group_outputs.append(out.reshape(m_rows * merged_bucket, -1))
+                for row, (idx, merged_count) in enumerate(row_info[s : s + cap]):
+                    spans[idx] = (flat_offset + row * merged_bucket, merged_count)
+                flat_offset += m_rows * merged_bucket
 
         vision_flat = (
             group_outputs[0] if len(group_outputs) == 1 else jnp.concatenate(group_outputs)
@@ -852,8 +873,23 @@ class Qwen2VL(Model):
         temperature = float(gen_kwargs.get("temperature") or 1.0)
         top_p = float(gen_kwargs.get("top_p") or 1.0)
 
-        kv_chunks, masks, logits_all, next_all = [], [], [], []
-        for rows, vision_flat in prepared_list:
+        # The pool cache is preallocated and each chunk's KV is written into it
+        # right after that chunk's prefill (write_pool_chunk donates the pool),
+        # so peak memory is the pool plus ONE chunk's cache — holding every
+        # chunk and concatenating at the end OOM'd once row-target pooling let
+        # mixed-res pools extend past 2 chunks.
+        bucket_lens = [
+            pad_to_bucket(max(len(ids) for ids, _, _ in rows))
+            for rows, _ in prepared_list
+        ]
+        l_max = max(bucket_lens)
+        cache_len = l_max + pad_to_bucket(max_new_tokens, GEN_LEN_BUCKETS)
+        total_rows = sum(len(rows) for rows, _ in prepared_list)
+        kv_mask_np = np.zeros((total_rows, cache_len), np.int32)
+        cache_k = cache_v = None
+        logits_all, next_all = [], []
+        row_offset = 0
+        for (rows, vision_flat), bucket_len in zip(prepared_list, bucket_lens):
             embeds, position_ids, attention_mask, next_pos, _ = (
                 self._build_batch_inputs(rows, vision_flat)
             )
@@ -864,16 +900,27 @@ class Qwen2VL(Model):
                 jnp.asarray(attention_mask.astype(np.int32)),
                 self.config,
             )
-            kv_chunks.append((ks, vs))
-            masks.append(jnp.asarray(attention_mask.astype(np.int32)))
+            if cache_k is None:
+                shape = (ks.shape[0], total_rows, ks.shape[2], cache_len, ks.shape[4])
+                cache_k = jnp.zeros(shape, ks.dtype)
+                cache_v = jnp.zeros(shape, vs.dtype)
+            front = l_max - bucket_len
+            cache_k, cache_v = qvl.write_pool_chunk(
+                cache_k,
+                cache_v,
+                ks,
+                vs,
+                jnp.asarray(row_offset, jnp.int32),
+                jnp.asarray(front, jnp.int32),
+            )
+            kv_mask_np[row_offset : row_offset + len(rows), front : front + bucket_len] = (
+                attention_mask
+            )
             logits_all.append(logits)
             next_all.append(next_pos.astype(np.int32))
+            row_offset += len(rows)
 
-        l_max = max(ks.shape[3] for ks, _ in kv_chunks)
-        cache_len = l_max + pad_to_bucket(max_new_tokens, GEN_LEN_BUCKETS)
-        cache_k, cache_v, kv_mask = qvl.assemble_decode_pool(
-            tuple(kv_chunks), tuple(masks), cache_len
-        )
+        kv_mask = jnp.asarray(kv_mask_np)
         logits0 = jnp.concatenate(logits_all, axis=0)
         next_pos_pool = jnp.asarray(np.concatenate(next_all), jnp.int32)
 

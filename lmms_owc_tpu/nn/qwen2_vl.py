@@ -51,7 +51,7 @@ log = get_logger(__name__)
 __all__ = [
     "Qwen2VLConfig",
     "Qwen2VLVisionConfig",
-    "assemble_decode_pool",
+    "write_pool_chunk",
     "convert_hf_decoder_weights",
     "convert_hf_weights",
     "decode_pool",
@@ -1411,41 +1411,38 @@ def prefill_logits(
     """Standalone prefill for the decode-pool path: last-position logits plus the
     UNPADDED per-layer KV ([num_layers, B, Hkv, L, D]) — pool assembly pads and
     concatenates several chunks' caches before one batched decode
-    (:func:`assemble_decode_pool` / :func:`decode_pool`)."""
+    (:func:`write_pool_chunk` / :func:`decode_pool`)."""
     x, (ks, vs) = _decoder_forward(params, input_embeds, position_ids, attention_mask, config)
     return _head_logits(params, x[:, -1, :]), ks, vs
 
 
-@functools.partial(jax.jit, static_argnames=("cache_len",))
-def assemble_decode_pool(
-    kv_chunks: tuple,
-    masks: tuple,
-    cache_len: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Merge per-chunk prefill caches into one decode pool.
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def write_pool_chunk(
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    ks: jax.Array,
+    vs: jax.Array,
+    row_offset: jax.Array,
+    front: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Write one chunk's prefill KV into the preallocated decode pool IN PLACE.
 
-    ``kv_chunks`` is a tuple of (ks, vs) pairs, each [num_layers, B_i, Hkv, L_i, D]
-    with LEFT-padded prompts; ``masks`` the matching [B_i, L_i] attention masks.
-    Each chunk is FRONT-padded on the sequence axis to the longest prompt bucket
-    (so every row's last prompt token lands at the same position — the decode
-    loop's point-writes then use one static position for all rows) and
-    right-padded to ``cache_len`` capacity. Front padding is masked off by the
-    returned kv_mask, exactly like ordinary left-padding.
-
-    Returns (cache_k, cache_v, kv_mask) at pool batch = sum of chunk batches.
+    ``ks``/``vs`` are [num_layers, B_i, Hkv, L_i, D] with LEFT-padded prompts;
+    rows land at ``row_offset`` and the sequence axis is FRONT-padded by
+    ``front`` to the pool's common prompt bucket (so every row's last prompt
+    token shares one static decode position; both offsets are traced scalars,
+    so one program serves every offset). The pool caches are DONATED, so
+    peak memory during assembly is the pool plus ONE chunk — holding every
+    chunk's cache and concatenating at the end OOM'd the 16 GB chip once
+    row-target pooling let mixed-resolution pools extend past 2 chunks
+    (RESOURCE_EXHAUSTED, ROUND_NOTES r4). Front padding is masked off by the
+    caller-built kv_mask, exactly like ordinary left-padding.
     """
-    l_max = max(ks.shape[3] for ks, _ in kv_chunks)
-    ks_all, vs_all, mask_all = [], [], []
-    for (ks, vs), mask in zip(kv_chunks, masks):
-        front = l_max - ks.shape[3]
-        back = cache_len - l_max
-        ks_all.append(jnp.pad(ks, ((0, 0), (0, 0), (0, 0), (front, back), (0, 0))))
-        vs_all.append(jnp.pad(vs, ((0, 0), (0, 0), (0, 0), (front, back), (0, 0))))
-        mask_all.append(jnp.pad(mask, ((0, 0), (front, back))))
+    zero = jnp.zeros((), jnp.int32)
+    start = (zero, row_offset.astype(jnp.int32), zero, front.astype(jnp.int32), zero)
     return (
-        jnp.concatenate(ks_all, axis=1),
-        jnp.concatenate(vs_all, axis=1),
-        jnp.concatenate(mask_all, axis=0),
+        jax.lax.dynamic_update_slice(cache_k, ks.astype(cache_k.dtype), start),
+        jax.lax.dynamic_update_slice(cache_v, vs.astype(cache_v.dtype), start),
     )
 
 
@@ -1474,7 +1471,7 @@ def decode_pool(
     Decouples decode batch from prefill batch: prefill runs at its MXU-optimal
     bucket batch, while the per-step weight read (the decode roofline at int8
     7B: ~7.6 GB/step) is amortized over the POOLED rows. ``cache`` comes from
-    :func:`assemble_decode_pool` and is donated; ``prompt_len`` is the common
+    :func:`write_pool_chunk` and is donated; ``prompt_len`` is the common
     post-assembly prompt bucket (== the assembly's l_max).
 
     Returns ``(tokens, final_cache)``. The final cache is returned ONLY so the

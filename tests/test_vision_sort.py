@@ -132,6 +132,39 @@ def test_vision_tower_batches_by_bucket_not_size(sort_model, monkeypatch):
         )
 
 
+def test_vision_tower_calls_capped_at_uniform_envelope(sort_model, monkeypatch):
+    """A grouped bucket batch splits into segments of at most
+    batch_size x 1024 patch-tokens (the uniform-448 envelope) so tower
+    activation transients never exceed what coexists with a decode-pool cache
+    on the 16 GB chip; outputs must still match per-image encodes."""
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
+    calls = []
+    orig = qvl.vision_encode_batch
+
+    def spy(params, patches, freqs, mask, cfg):
+        calls.append(int(patches.shape[0]))
+        return orig(params, patches, freqs, mask, cfg)
+
+    monkeypatch.setattr(qvl, "vision_encode_batch", spy)
+    rng = np.random.RandomState(13)
+    # 224x224 -> 256 patches -> bucket 256; batch_size=2 -> cap 2*1024//256 = 8.
+    images = [
+        Image.fromarray(rng.randint(0, 255, (224, 224, 3), dtype=np.uint8))
+        for _ in range(10)
+    ]
+    flat, spans, _ = sort_model._encode_images_flat(images)
+    assert calls == [8, 2]
+    ref_flat, ref_spans, _ = sort_model._encode_images_flat([images[9]])
+    off, count = spans[9]
+    np.testing.assert_allclose(
+        np.asarray(flat[off : off + count]),
+        np.asarray(ref_flat[: count]),
+        rtol=2e-5,
+        atol=2e-5,
+    )
+
+
 def test_vision_row_bucketing_pads_batch_and_preserves_outputs(sort_model, monkeypatch):
     """Tower batch sizes snap to VISION_ROW_BUCKETS (bounded compile-shape set
     for arbitrary size distributions); padded rows replicate real data and are

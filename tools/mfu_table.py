@@ -87,7 +87,7 @@ STAGE_OF = {
     "prefill": "prefill",
     "decode_pool": "decode",
     "greedy_generate": "prefill+decode (fused)",
-    "assemble_decode_pool": "pool-assembly",
+    "write_pool_chunk": "pool-assembly",
 }
 
 
