@@ -308,16 +308,20 @@ class Model(abc.ABC):
         except TypeError:
             return list(tok.encode(continuation))
 
-    def _foreach_chunk_pipelined(self, chunks: list, prepare, run, depth: int = 2) -> list:
+    def _foreach_chunk_pipelined(
+        self, chunks: list, prepare, run, depth: int = 2, finish=None
+    ) -> list:
         """Process chunks with up to ``depth`` chunks' preparation in flight.
 
         ``prepare(chunk)`` does host preprocessing + vision encode (GIL-friendly);
         ``run(chunk, prepared)`` does the serial decode and returns a list of
-        outputs. See :func:`lmms_owc_tpu.utils.foreach_chunk_pipelined`.
+        outputs — or, with ``finish``, only dispatches and returns a handle that
+        ``finish(chunk, handle)`` fetches + postprocesses one iteration later.
+        See :func:`lmms_owc_tpu.utils.foreach_chunk_pipelined`.
         """
         from lmms_owc_tpu.utils import foreach_chunk_pipelined
 
-        return foreach_chunk_pipelined(chunks, prepare, run, depth=depth)
+        return foreach_chunk_pipelined(chunks, prepare, run, depth=depth, finish=finish)
 
     def apply_chat_template(self, messages: list[dict]) -> str:
         """Render chat messages to a prompt string (--apply_chat_template).

@@ -25,6 +25,7 @@ import numpy as np
 from lmms_owc_tpu.models._api import register_model
 from lmms_owc_tpu.models._base import Model
 from lmms_owc_tpu.utils import Collator, get_logger, pad_to_bucket
+from lmms_owc_tpu.utils._hostprof import hostprof, hostprof_dump, hostprof_reset
 
 log = get_logger(__name__)
 
@@ -523,7 +524,7 @@ class Qwen2VL(Model):
         import jax.numpy as jnp
 
         from lmms_owc_tpu.nn import qwen2_vl as qvl
-        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host
+        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host_batch
 
         if not all_visuals:
             return None, [], []
@@ -535,9 +536,10 @@ class Qwen2VL(Model):
         factor = v.patch_size * v.spatial_merge_size
         dtype = self.params["vision"]["patch_embed"]["w"].dtype
 
-        resized: list[tuple[np.ndarray, tuple[int, int]]] = [
-            resize_host(img, self.min_pixels, self.max_pixels, factor) for img in all_visuals
-        ]
+        with hostprof("prep_resize"):
+            resized: list[tuple[np.ndarray, tuple[int, int]]] = resize_host_batch(
+                all_visuals, self.min_pixels, self.max_pixels, factor
+            )
         grids = [(1, hw[0] // v.patch_size, hw[1] // v.patch_size) for _, hw in resized]
 
         by_size: dict[tuple[int, int], list[int]] = {}
@@ -553,14 +555,18 @@ class Qwen2VL(Model):
         # device from a per-size table (only [G, bucket, d] crosses the link).
         by_bucket: dict[int, list[tuple[list[int], int, object]]] = {}
         for hw, indices in by_size.items():
-            stacked = np.stack([resized[i][0] for i in indices])  # [n, C, H, W]
+            with hostprof("prep_stack"):
+                stacked = np.stack([resized[i][0] for i in indices])  # [n, C, H, W]
             num_patches = (hw[0] // v.patch_size) * (hw[1] // v.patch_size)
             bucket = pad_to_bucket(num_patches, PATCH_BUCKETS)
-            patches = patchify_images_batch(
-                jnp.asarray(stacked), v.patch_size, v.temporal_patch_size,
-                v.spatial_merge_size, dtype,
-            )
-            patches = jnp.pad(patches, ((0, 0), (0, bucket - num_patches), (0, 0)))
+            with hostprof("prep_upload"):
+                stacked_dev = jnp.asarray(stacked)
+            with hostprof("prep_patchify"):
+                patches = patchify_images_batch(
+                    stacked_dev, v.patch_size, v.temporal_patch_size,
+                    v.spatial_merge_size, dtype,
+                )
+                patches = jnp.pad(patches, ((0, 0), (0, bucket - num_patches), (0, 0)))
             by_bucket.setdefault(bucket, []).append((indices, num_patches, patches))
 
         group_outputs: list = []
@@ -627,9 +633,10 @@ class Qwen2VL(Model):
                     if all_full
                     else jnp.take(mask_table_dev, gids_dev, axis=0)
                 )
-                out = qvl.vision_encode_batch(
-                    self.params["vision"], seg_patches, freqs, patch_mask, v
-                )  # [m_rows, bucket/merge_sq, hidden]
+                with hostprof("prep_tower"):
+                    out = qvl.vision_encode_batch(
+                        self.params["vision"], seg_patches, freqs, patch_mask, v
+                    )  # [m_rows, bucket/merge_sq, hidden]
                 group_outputs.append(out.reshape(m_rows * merged_bucket, -1))
                 for row, (idx, merged_count) in enumerate(row_info[s : s + cap]):
                     spans[idx] = (flat_offset + row * merged_bucket, merged_count)
@@ -652,7 +659,7 @@ class Qwen2VL(Model):
         import jax.numpy as jnp
 
         from lmms_owc_tpu.nn import qwen2_5_vl as qvl25
-        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host
+        from lmms_owc_tpu.ops.image import patchify_images_batch, resize_host_batch
 
         v25 = self.vision25_config
         mu = v25.spatial_merge_size ** 2
@@ -661,8 +668,11 @@ class Qwen2VL(Model):
 
         resized: list = []
         grids: list = []
-        for image in all_visuals:
-            chw, (rh, rw) = resize_host(image, self.min_pixels, self.max_pixels, factor)
+        with hostprof("prep_resize"):
+            pairs = resize_host_batch(
+                all_visuals, self.min_pixels, self.max_pixels, factor
+            )
+        for chw, (rh, rw) in pairs:
             resized.append(chw)
             grids.append((1, rh // v25.patch_size, rw // v25.patch_size))
 
@@ -890,16 +900,18 @@ class Qwen2VL(Model):
         logits_all, next_all = [], []
         row_offset = 0
         for (rows, vision_flat), bucket_len in zip(prepared_list, bucket_lens):
-            embeds, position_ids, attention_mask, next_pos, _ = (
-                self._build_batch_inputs(rows, vision_flat)
-            )
-            logits, ks, vs = qvl.prefill_logits(
-                self.params,
-                embeds,
-                jnp.asarray(position_ids),
-                jnp.asarray(attention_mask.astype(np.int32)),
-                self.config,
-            )
+            with hostprof("build_inputs"):
+                embeds, position_ids, attention_mask, next_pos, _ = (
+                    self._build_batch_inputs(rows, vision_flat)
+                )
+            with hostprof("prefill_dispatch"):
+                logits, ks, vs = qvl.prefill_logits(
+                    self.params,
+                    embeds,
+                    jnp.asarray(position_ids),
+                    jnp.asarray(attention_mask.astype(np.int32)),
+                    self.config,
+                )
             if cache_k is None:
                 shape = (ks.shape[0], total_rows, ks.shape[2], cache_len, ks.shape[4])
                 cache_k = jnp.zeros(shape, ks.dtype)
@@ -925,22 +937,26 @@ class Qwen2VL(Model):
         next_pos_pool = jnp.asarray(np.concatenate(next_all), jnp.int32)
 
         self._rng, subkey = jax.random.split(self._rng)
-        tokens, _ = qvl.decode_pool(
-            self.params,
-            (cache_k, cache_v),
-            logits0,
-            kv_mask,
-            next_pos_pool,
-            self.config,
-            max_new_tokens=max_new_tokens,
-            prompt_len=l_max,
-            eos_ids=jnp.asarray(self.eos_token_ids, jnp.int32),
-            rng_key=subkey,
-            do_sample=do_sample,
-            temperature=temperature,
-            top_p=top_p,
-        )
-        return self._detokenize(np.asarray(tokens))
+        with hostprof("decode_dispatch"):
+            tokens, _ = qvl.decode_pool(
+                self.params,
+                (cache_k, cache_v),
+                logits0,
+                kv_mask,
+                next_pos_pool,
+                self.config,
+                max_new_tokens=max_new_tokens,
+                prompt_len=l_max,
+                eos_ids=jnp.asarray(self.eos_token_ids, jnp.int32),
+                rng_key=subkey,
+                do_sample=do_sample,
+                temperature=temperature,
+                top_p=top_p,
+            )
+        with hostprof("fetch"):
+            tokens_np = np.asarray(tokens)
+        with hostprof("detok"):
+            return self._detokenize(tokens_np)
 
     @staticmethod
     def _trim_until(text: str, until: list[str] | None) -> str:
@@ -968,12 +984,14 @@ class Qwen2VL(Model):
         """
         all_visuals: list = []
         counts: list[int] = []
-        for args in chunk:
-            visuals = self._fetch_visuals(args)
-            counts.append(len(visuals))
-            all_visuals.extend(visuals)
+        with hostprof("prep_fetch"):
+            for args in chunk:
+                visuals = self._fetch_visuals(args)
+                counts.append(len(visuals))
+                all_visuals.extend(visuals)
 
-        vision_flat, spans, flat_grids = self._encode_images_flat(all_visuals)
+        with hostprof("prep_vision"):
+            vision_flat, spans, flat_grids = self._encode_images_flat(all_visuals)
 
         merge_sq = self.config.vision.spatial_merge_size ** 2
         rows = []
@@ -1067,9 +1085,12 @@ class Qwen2VL(Model):
 
         pool_n = int(os.environ.get("LMMS_OWC_DECODE_POOL", "1"))
         if pool_n > 1:
-            return collator.get_original(
+            hostprof_reset()
+            out = collator.get_original(
                 self._generate_pooled(chunks, pool_n, pool_bucket_fn)
             )
+            hostprof_dump(f"generate_until n={len(requests)}")
+            return out
 
         # Pipeline: host preprocessing + vision encode (incl. host->device image
         # uploads) of the next chunks overlaps the decode of chunk k (the C++

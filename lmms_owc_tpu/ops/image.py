@@ -176,6 +176,43 @@ def resize_host(
     return np.asarray(resized).transpose(2, 0, 1), (resized_h, resized_w)
 
 
+_RESIZE_POOL = None
+
+
+def resize_host_batch(
+    images: list,
+    min_pixels: int = 4 * 28 * 28,
+    max_pixels: int = 1024 * 28 * 28,
+    factor: int = 28,
+) -> list:
+    """Map :func:`resize_host` over a shared thread pool, preserving order.
+
+    The resize is the dominant host cost of a macro-batch prepare (measured
+    ~10 ms/image single-threaded, 93% of the prepare stage at the flagship
+    config — ROUND_NOTES r4); the native resizer and PIL both release the GIL,
+    so a small pool cuts the serving pipeline's fill latency (the first
+    chunk's prepare is on the critical path) roughly by the worker count.
+    ``LMMS_OWC_RESIZE_THREADS=1`` restores the serial path.
+    """
+    import os as _os
+
+    n_workers = int(_os.environ.get("LMMS_OWC_RESIZE_THREADS", "0")) or min(
+        8, _os.cpu_count() or 1
+    )
+    if n_workers <= 1 or len(images) <= 1:
+        return [resize_host(img, min_pixels, max_pixels, factor) for img in images]
+    global _RESIZE_POOL
+    if _RESIZE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _RESIZE_POOL = ThreadPoolExecutor(max_workers=n_workers)
+    return list(
+        _RESIZE_POOL.map(
+            lambda img: resize_host(img, min_pixels, max_pixels, factor), images
+        )
+    )
+
+
 def preprocess_image(
     image,
     min_pixels: int = 4 * 28 * 28,

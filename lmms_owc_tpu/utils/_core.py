@@ -36,7 +36,9 @@ __all__ = [
 ]
 
 
-def foreach_chunk_pipelined(chunks: list, prepare, run, depth: int = 2) -> list:
+def foreach_chunk_pipelined(
+    chunks: list, prepare, run, depth: int = 2, finish=None
+) -> list:
     """Process chunks with up to ``depth`` chunks' preparation in flight.
 
     ``prepare(chunk)`` does host preprocessing (tokenization, image decode,
@@ -46,9 +48,20 @@ def foreach_chunk_pipelined(chunks: list, prepare, run, depth: int = 2) -> list:
     transfer links (tunnels, congested PCIe) a single-chunk lookahead is not
     enough to hide the upload. Shared by the model adapters
     (``Model._foreach_chunk_pipelined``) and the judge/scoring stacks.
+
+    With ``finish`` the loop becomes a THREE-stage software pipeline:
+    ``run(chunk, prepared)`` only *dispatches* device work and returns a
+    handle (e.g. an unfetched device token array); ``finish(chunk, handle)``
+    does the blocking fetch + postprocessing and returns the output list.
+    ``finish`` for chunk k runs after chunk k+1's dispatch, so the fetch
+    blocks while the device is busy on k+1 instead of idling it — on a
+    single-core TPU this is the only way host postprocessing (detokenize,
+    trimming) overlaps device compute.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+
+    from lmms_owc_tpu.utils._hostprof import hostprof
 
     results: list = []
     if not chunks:
@@ -56,11 +69,24 @@ def foreach_chunk_pipelined(chunks: list, prepare, run, depth: int = 2) -> list:
     depth = max(1, int(depth))
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending: deque = deque(pool.submit(prepare, chunk) for chunk in chunks[:depth])
+        inflight = None  # (chunk, handle) awaiting finish
         for i, chunk in enumerate(chunks):
-            prepared = pending.popleft().result()
+            with hostprof("prep_wait"):
+                prepared = pending.popleft().result()
             if i + depth < len(chunks):
                 pending.append(pool.submit(prepare, chunks[i + depth]))
-            results.extend(run(chunk, prepared))
+            with hostprof("run_total"):
+                out = run(chunk, prepared)
+            if finish is None:
+                results.extend(out)
+                continue
+            if inflight is not None:
+                with hostprof("finish_total"):
+                    results.extend(finish(*inflight))
+            inflight = (chunk, out)
+        if finish is not None and inflight is not None:
+            with hostprof("finish_total"):
+                results.extend(finish(*inflight))
     return results
 
 TQDM_BAR_FORMAT = (
