@@ -1139,62 +1139,144 @@ class Qwen2VL(Model):
         ``doc_to_text(doc, round_idx=r, previous_round_results=..., last_round_info=...)``
         which returns ``(visual, text, terminal, previous_round_results, last_round_info)``.
         Unlike the reference's per-sample loop, each round runs every still-active
-        request of a chunk as one batched decode.
+        request of a chunk as one batched decode — and the whole round sweep runs
+        ACROSS chunks (round r of every chunk before round r+1 of any), so the
+        per-round sub-chunks ride the same decode-pool serving
+        (LMMS_OWC_DECODE_POOL, :meth:`_run_pooled`) and vision-aware sorted
+        batching (LMMS_OWC_SORT_BY_VISION) as :meth:`generate_until`. The
+        llamav_o1-style prompt variants hit this path on every classification
+        benchmark, so it inherits the serving levers rather than decoding
+        per-chunk at pool=1.
         """
+        batch_fn = None
+        if self.batch_size > 1 and bool(int(os.environ.get("LMMS_OWC_SORT_BY_VISION", "1"))):
+            est_cache: dict[int, int] = {}
+
+            def _est(args) -> int:
+                key = id(args)
+                if key not in est_cache:
+                    est_cache[key] = self._estimate_prompt_tokens(args)
+                return est_cache[key]
+
+            sort_fn = lambda args: -_est(args)  # noqa: E731
+            budget = self.batch_size * 320
+            state = {"flushed": -1, "cap": self.batch_size}
+
+            def batch_fn(n_flushed, args):
+                if n_flushed != state["flushed"]:  # first item of a new batch
+                    state["flushed"] = n_flushed
+                    bucket = pad_to_bucket(_est(args) + 48)
+                    state["cap"] = max(8, min(2 * self.batch_size, budget // bucket))
+                return state["cap"]
+        else:
+            sort_fn = lambda args: -len(args[0])  # noqa: E731
+
         collator = Collator(
             [req.args for req in requests],
-            sort_fn=lambda args: -len(args[0]),
+            sort_fn=sort_fn,
             group_fn=lambda args: repr(args[1]),
             group_by="gen_kwargs",
         )
-        results: list[list[str]] = []
-        for chunk in collator.get_batched(n=self.batch_size):
-            gen_kwargs = dict(chunk[0][1] or {})
-            until = gen_kwargs.get("until") or []
-            if isinstance(until, str):
-                until = [until]
+        chunks = list(collator.get_batched(n=self.batch_size, batch_fn=batch_fn))
 
+        # Per-chunk conversation state, advanced one ROUND at a time across all
+        # chunks so each round's sub-chunks can pool.
+        states = []
+        for chunk in chunks:
             docs = []
             for args in chunk:
                 task = self.task_dict.get(args[5])
                 if isinstance(task, tuple):
                     task = task[1]
                 docs.append(task.dataset[args[6]][args[4]])
+            gen_kwargs = dict(chunk[0][1] or {})
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):
+                until = [until]
+            states.append(
+                {
+                    "chunk": chunk,
+                    "docs": docs,
+                    "gen_kwargs": gen_kwargs,
+                    "until": until,
+                    "rounds": [[] for _ in chunk],
+                    "infos": [None] * len(chunk),
+                    "prompts": [args[0] for args in chunk],
+                    "active": list(range(len(chunk))),
+                }
+            )
 
-            rounds: list[list[str]] = [[] for _ in chunk]
-            infos: list = [None] * len(chunk)
-            prompts: list = [args[0] for args in chunk]
-            active = list(range(len(chunk)))
-            round_idx = 0
-            while active and round_idx <= 16:
-                if round_idx != 0:
+        pool_n = int(os.environ.get("LMMS_OWC_DECODE_POOL", "1"))
+        round_idx = 0
+        while round_idx <= 16:
+            live: list[tuple[dict, list]] = []  # (state, this round's sub_chunk)
+            for st in states:
+                if round_idx != 0 and st["active"]:
                     still_active = []
-                    for i in active:
-                        doc_to_text = chunk[i][3]
-                        _vis, text, terminal, _prev, infos[i] = doc_to_text(
-                            docs[i],
+                    for i in st["active"]:
+                        doc_to_text = st["chunk"][i][3]
+                        _vis, text, terminal, _prev, st["infos"][i] = doc_to_text(
+                            st["docs"][i],
                             round_idx=round_idx,
-                            previous_round_results=list(rounds[i]),
-                            last_round_info=infos[i],
+                            previous_round_results=list(st["rounds"][i]),
+                            last_round_info=st["infos"][i],
                         )
                         if not terminal:
-                            prompts[i] = text
+                            st["prompts"][i] = text
                             still_active.append(i)
-                    active = still_active
-                    if not active:
-                        break
+                    st["active"] = still_active
+                if st["active"]:
+                    # (ctx, gen_kwargs, doc_to_visual, doc_id, task, split) rows.
+                    sub_chunk = [
+                        (
+                            st["prompts"][i],
+                            st["chunk"][i][1],
+                            st["chunk"][i][2],
+                            st["chunk"][i][4],
+                            st["chunk"][i][5],
+                            st["chunk"][i][6],
+                        )
+                        for i in st["active"]
+                    ]
+                    live.append((st, sub_chunk))
+            if not live:
+                break
 
-                # (ctx, gen_kwargs, doc_to_visual, doc_id, task, split) per active row.
-                sub_chunk = [
-                    (prompts[i], gen_kwargs, chunk[i][2], chunk[i][4], chunk[i][5], chunk[i][6])
-                    for i in active
-                ]
-                rows, vision_flat = self._prepare_requests_batch(sub_chunk)
-                texts = self._run_batch(rows, dict(gen_kwargs), vision_flat)
-                for i, text in zip(active, texts):
-                    rounds[i].append(self._trim_until(text, until).strip())
-                round_idx += 1
-            results.extend(rounds)
+            if pool_n > 1 and len(live) > 1:
+                # Pool this round's sub-chunks exactly like generate_until:
+                # prefill per sub-chunk shape, decode pooled rows as one batch.
+                texts_flat = self._generate_pooled(
+                    [sc for _, sc in live], pool_n
+                )
+                offset = 0
+                for st, sc in live:
+                    for i, text in zip(st["active"], texts_flat[offset : offset + len(sc)]):
+                        st["rounds"][i].append(
+                            self._trim_until(text, st["until"]).strip()
+                        )
+                    offset += len(sc)
+            else:
+
+                def run(item, prepared):
+                    st, _sc = item
+                    rows, vision_flat = prepared
+                    return st, self._run_batch(rows, dict(st["gen_kwargs"]), vision_flat)
+
+                ran = self._foreach_chunk_pipelined(
+                    live,
+                    lambda item: self._prepare_requests_batch(item[1]),
+                    lambda item, prepared: [run(item, prepared)],
+                )
+                for st, texts in ran:
+                    for i, text in zip(st["active"], texts):
+                        st["rounds"][i].append(
+                            self._trim_until(text, st["until"]).strip()
+                        )
+            round_idx += 1
+
+        results: list[list[str]] = []
+        for st in states:
+            results.extend(st["rounds"])
         return collator.get_original(results)
 
     def loglikelihood(self, requests) -> list[tuple[float, bool]]:

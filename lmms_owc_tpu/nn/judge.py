@@ -181,9 +181,9 @@ class JudgeModel:
         return cls(params, config.to_decoder_config(), _FallbackJudgeTokenizer(),
                    data_parallel=data_parallel)
 
-    def _prepare_chunk(self, chunk: list[str]) -> tuple:
-        """Host side of one scoring chunk: chat-template render, tokenize,
-        left-pad to a length bucket, and start the device uploads."""
+    def _prepare_chunk_np(self, chunk: list[str]) -> tuple:
+        """Host side of one scoring chunk as numpy: chat-template render,
+        tokenize, left-pad to a length bucket."""
         from lmms_owc_tpu.nn.llama import llama_positions
 
         rendered = [
@@ -213,6 +213,11 @@ class JudgeModel:
             mask[row, bucket - len(ids) :] = 1
 
         position_ids, next_pos = llama_positions(mask)
+        return bucket, input_ids, position_ids, mask, next_pos
+
+    def _prepare_chunk(self, chunk: list[str]) -> tuple:
+        """Host prep + device uploads for the unpooled path."""
+        bucket, input_ids, position_ids, mask, next_pos = self._prepare_chunk_np(chunk)
         # device_put dispatches are async: the NEXT chunk's uploads ride the
         # link while the current chunk decodes (foreach_chunk_pipelined).
         return (
@@ -223,20 +228,124 @@ class JudgeModel:
             self._place_rows(next_pos.astype(np.int32)),
         )
 
-    def _generate(self, prompts: list[str]) -> list[str]:
-        import jax.numpy as jnp
-
-        from lmms_owc_tpu.nn.llama import greedy_generate
-        from lmms_owc_tpu.utils import foreach_chunk_pipelined
-
+    def _eos_and_stop(self) -> tuple[list[int], set[int]]:
         eos_ids = [self.tokenizer.eos_token_id]
         for tok in ("<|eot_id|>",):
             tok_id = self.tokenizer.convert_tokens_to_ids(tok)
             if tok_id is not None and tok_id >= 0:
                 eos_ids.append(tok_id)
         eos_ids = sorted(set(int(e) for e in eos_ids if e is not None))
-        pad_id = self.config.pad_token_id
-        stop = set(eos_ids) | {pad_id}
+        return eos_ids, set(eos_ids) | {self.config.pad_token_id}
+
+    def _decode_rows(self, tokens: np.ndarray, n_rows: int, stop: set[int]) -> list[str]:
+        outputs = []
+        for row in range(n_rows):
+            ids = []
+            for tok in tokens[row]:
+                if int(tok) in stop:
+                    break
+                ids.append(int(tok))
+            outputs.append(self.tokenizer.decode(ids, skip_special_tokens=True).strip())
+        return outputs
+
+    def _generate_pooled(self, prompts: list[str], pool_n: int) -> list[str]:
+        """Decode-pool judge serving: prefill each chunk at its own (batch,
+        bucket) shape, then decode ``pool_n`` chunks' rows as ONE batch.
+
+        Same decoupling as the flagship's LMMS_OWC_DECODE_POOL serving
+        (models/qwen2_vl.py _run_pooled): judge decode is 16 short steps whose
+        roofline is the per-step weight read (~3.2 GB at int8 3B), so pooling
+        rows amortizes it. Pool caches are preallocated and each chunk's
+        prefill KV is written in place (donated), peak = pool + one chunk.
+        Single-device path only — the data-parallel mesh shards rows per
+        chunk already and keeps the unpooled path.
+        """
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn import qwen2_vl as qvl
+        from lmms_owc_tpu.utils import foreach_chunk_pipelined
+
+        eos_ids, stop = self._eos_and_stop()
+        eos_arr = jnp.asarray(eos_ids, jnp.int32)
+
+        chunks = [
+            prompts[start : start + self.batch_size]
+            for start in range(0, len(prompts), self.batch_size)
+        ]
+        pools = [chunks[i : i + pool_n] for i in range(0, len(chunks), pool_n)]
+
+        def prepare(pool: list[list[str]]) -> list[tuple]:
+            return [self._prepare_chunk_np(c) for c in pool]
+
+        def run(pool: list[list[str]], prepared: list[tuple]) -> list[str]:
+            l_max = max(p[0] for p in prepared)
+            cache_len = l_max + pad_to_bucket(MAX_NEW_TOKENS)
+            total_rows = sum(p[1].shape[0] for p in prepared)
+            kv_mask_np = np.zeros((total_rows, cache_len), np.int32)
+            cache_k = cache_v = None
+            logits_all, next_all = [], []
+            row_offset = 0
+            for bucket, input_ids, position_ids, mask, next_pos in prepared:
+                embeds = jnp.take(
+                    self.params["embed_tokens"], jnp.asarray(input_ids), axis=0
+                )
+                logits, ks, vs = qvl.prefill_logits(
+                    self.params,
+                    embeds,
+                    jnp.asarray(position_ids),
+                    jnp.asarray(mask.astype(np.int32)),
+                    self.config,
+                )
+                if cache_k is None:
+                    shape = (ks.shape[0], total_rows, ks.shape[2], cache_len, ks.shape[4])
+                    cache_k = jnp.zeros(shape, ks.dtype)
+                    cache_v = jnp.zeros(shape, vs.dtype)
+                front = l_max - bucket
+                cache_k, cache_v = qvl.write_pool_chunk(
+                    cache_k, cache_v, ks, vs,
+                    jnp.asarray(row_offset, jnp.int32),
+                    jnp.asarray(front, jnp.int32),
+                )
+                n_rows = mask.shape[0]
+                kv_mask_np[row_offset : row_offset + n_rows, front : front + bucket] = mask
+                logits_all.append(logits)
+                next_all.append(next_pos.astype(np.int32))
+                row_offset += n_rows
+
+            tokens, _ = qvl.decode_pool(
+                self.params,
+                (cache_k, cache_v),
+                jnp.concatenate(logits_all, axis=0),
+                jnp.asarray(kv_mask_np),
+                jnp.asarray(np.concatenate(next_all), jnp.int32),
+                self.config,
+                max_new_tokens=MAX_NEW_TOKENS,
+                prompt_len=l_max,
+                eos_ids=eos_arr,
+            )
+            tokens_np = np.asarray(tokens)
+            outputs: list[str] = []
+            row_offset = 0
+            for chunk in pool:
+                outputs.extend(
+                    self._decode_rows(tokens_np[row_offset:], len(chunk), stop)
+                )
+                row_offset += len(chunk)
+            return outputs
+
+        return foreach_chunk_pipelined(pools, prepare, run)
+
+    def _generate(self, prompts: list[str]) -> list[str]:
+        import jax.numpy as jnp
+
+        from lmms_owc_tpu.nn.llama import greedy_generate
+        from lmms_owc_tpu.utils import foreach_chunk_pipelined
+
+        pool_n = int(os.environ.get("LMMS_OWC_JUDGE_DECODE_POOL", "0") or 0)
+        if pool_n > 1 and self.mesh is None:
+            return self._generate_pooled(prompts, pool_n)
+
+        eos_ids, stop = self._eos_and_stop()
 
         def run(chunk: list[str], prepared: tuple) -> list[str]:
             bucket, input_ids, position_ids, mask, next_pos = prepared
@@ -252,16 +361,7 @@ class JudgeModel:
                 cache_len=bucket + 64,
                 eos_ids=jnp.asarray(eos_ids, jnp.int32),
             )
-            tokens = np.asarray(tokens)[: len(chunk)]
-            outputs = []
-            for row in range(len(chunk)):
-                ids = []
-                for tok in tokens[row]:
-                    if int(tok) in stop:
-                        break
-                    ids.append(int(tok))
-                outputs.append(self.tokenizer.decode(ids, skip_special_tokens=True).strip())
-            return outputs
+            return self._decode_rows(np.asarray(tokens), len(chunk), stop)
 
         chunks = [
             prompts[start : start + self.batch_size]

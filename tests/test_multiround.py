@@ -108,3 +108,35 @@ class TestMultipleChoice:
         )
         res = results["results"]["toy_mc"]
         assert "acc,none" in res
+
+
+class TestMultiRoundPooled:
+    """Pooled + vision-sorted multi-round serving must be token-identical to the
+    baseline per-chunk path (VERDICT r4 #7: the llamav_o1 prompt variants hit
+    generate_until_multi_round on every classification benchmark, so it rides
+    the same decode-pool + sorted-batching levers as generate_until)."""
+
+    def _round_results(self, toy_task_path, monkeypatch, pool, sort):
+        from lmms_owc_tpu.engine import evaluate
+        from lmms_owc_tpu.models import get_model
+        from lmms_owc_tpu.tasks import TaskManager, get_tasks_as_dict
+
+        monkeypatch.setenv("LMMS_OWC_DECODE_POOL", pool)
+        monkeypatch.setenv("LMMS_OWC_SORT_BY_VISION", sort)
+        model = get_model("qwen2-vl-tiny", batch_size=2, random_init=True, dtype="float32")
+        tm = TaskManager(include_path=toy_task_path, model_name="qwen2-vl-tiny")
+        task_dict = get_tasks_as_dict(["toy_multiround"], tm)
+        task = task_dict["toy_multiround"]
+        task.set_fewshot_seed(1234)
+        task.set_config(key="num_fewshot", value=0)
+        model.task_dict["toy_multiround"] = task
+        results = evaluate(
+            model=model, task_dict=task_dict, limit=5, bootstrap_iters=0, log_samples=True
+        )
+        return [s["resps"][0][0] for s in results["samples"]["toy_multiround"]]
+
+    def test_pooled_sorted_identical(self, toy_task_path, toy_dataset, monkeypatch):
+        base = self._round_results(toy_task_path, monkeypatch, pool="1", sort="0")
+        pooled = self._round_results(toy_task_path, monkeypatch, pool="2", sort="1")
+        assert pooled == base
+        assert all(len(r) == 2 for r in base)
