@@ -86,6 +86,20 @@ SCORING_CHECKPOINTS = {
     "clip": "openai/clip-vit-large-patch14",
 }
 
+# The 10 classification benchmarks (base prompt variant) — THE paper workload
+# (reference src/data/tasks/_classification/<bench>/base.yaml). The reference
+# pins no values for these anywhere in its tests, so unlike PINNED there is no
+# vendorable table: a weights-enabled machine first RECORDS a table from a
+# reference run (--record_classification against the reference CLI's results,
+# or from a trusted prior run of this harness), then later runs COMPARE against
+# it (--pinned_classification). Each task reports 4 in-process metrics
+# (concept_semantic_similarity, exact_match, semantic_similarity,
+# textual_inclusion); all 4 are recorded and compared.
+CLASSIFICATION_TASKS = [
+    "caltech101", "dtd", "eurosat", "fgvc_aircraft", "flowers102",
+    "food101", "oxford_pets", "stanford_cars", "sun397", "ucf101",
+]
+
 
 def checkpoint_path(root: Path, model_id: str) -> Path:
     return root / CHECKPOINTS[model_id].split("/")[-1]
@@ -134,6 +148,91 @@ def build_commands(
     return plans
 
 
+def build_classification_commands(
+    checkpoint_root: Path,
+    out_root: Path,
+    models: list[str] | None = None,
+    limit: int = 8,
+    dtype: str = "bfloat16",
+    python: str = sys.executable,
+) -> list[dict]:
+    """Assemble the classification-workload CLI invocations (pure — CI-testable).
+
+    One eval_model.py run per model over all 10 classification benchmarks at
+    the base prompt, limit=8, 0-shot — the workload BASELINE.json's configs
+    sweep (reference src/data/tasks/_classification/). The scoring models
+    (SBERT for the similarity metrics, spaCy for concept extraction) run
+    in-process at metric time, so the machine needs those available too —
+    exactly what --scoring verifies first.
+    """
+    plans = []
+    for model_id in models or list(PINNED):
+        out_dir = out_root / model_id / "classification"
+        cmd = [
+            python, str(REPO / "eval_model.py"),
+            "--model", model_id,
+            "--model_args",
+            f"pretrained={checkpoint_path(checkpoint_root, model_id)},dtype={dtype}",
+            "--tasks", ",".join(CLASSIFICATION_TASKS),
+            "--num_fewshot", "0",
+            "--limit", str(limit),
+            "--batch_size", "8",
+            "--log_samples",
+            "--output_path", str(out_dir),
+            "--seed", "0,1234,1234,1234",
+        ]
+        plans.append(
+            {
+                "model": model_id,
+                "checkpoint": checkpoint_path(checkpoint_root, model_id),
+                "tasks": list(CLASSIFICATION_TASKS),
+                "cmd": cmd,
+                "output_path": out_dir,
+            }
+        )
+    return plans
+
+
+def extract_all_metric_values(
+    results_json: dict, tasks: list[str]
+) -> dict[str, dict[str, float]]:
+    """Every non-stderr metric per task — the classification benchmarks report
+    4 metrics each and a recorded table must pin all of them."""
+    out: dict[str, dict[str, float]] = {}
+    for task in tasks:
+        entries = results_json["results"].get(task, {})
+        out[task] = {
+            k: v
+            for k, v in entries.items()
+            if k != "alias" and not k.endswith("_stderr,none")
+            and isinstance(v, (int, float))
+        }
+    return out
+
+
+def compare_classification(
+    measured: dict[str, dict[str, float]],
+    pinned: dict[str, dict[str, float]],
+    tolerance: float,
+) -> list[str]:
+    """Diff a measured classification table against a recorded one."""
+    failures = []
+    for task, metrics in pinned.items():
+        got_task = measured.get(task)
+        if got_task is None:
+            failures.append(f"{task}: no measured values")
+            continue
+        for metric, expected in metrics.items():
+            got = got_task.get(metric)
+            if got is None:
+                failures.append(f"{task}/{metric}: no measured value")
+            elif abs(float(got) - float(expected)) > tolerance:
+                failures.append(
+                    f"{task}/{metric}: got {got}, pinned {expected} (tol {tolerance})"
+                )
+    return failures
+
+
 def extract_metric_values(results_json: dict, tasks: list[str]) -> dict[str, float]:
     """The value the reference asserts on: first metric after 'alias' per task
     (models_test.py:143-145 takes ``list(results[task].values())[1]``)."""
@@ -159,10 +258,71 @@ def compare(measured: dict[str, float], pinned: dict, tolerance: float) -> list[
     return failures
 
 
-def verify_scoring(checkpoint_root: Path) -> list[str]:
+def verify_spacy_concepts(reference_repo: Path | None) -> list[str]:
+    """Run concept extraction with REAL spaCy en_core_web_lg (the path no CI
+    environment here has ever executed — tests cover only the fallback chunker
+    and a stub-NLP golden lock, tests/test_concept_golden.py). Asserts the real
+    pipeline actually ran, checks structural invariants, and — when the
+    reference repo is present — diffs list-for-list against the reference's own
+    ``concept_extraction_spacy`` (reference src/data/pipelines/text/_text.py:18-140).
+    """
+    failures: list[str] = []
+    try:
+        import spacy  # noqa: F401
+    except ImportError:
+        print("spacy not importable: concept-extraction real-NLP branch skipped")
+        return failures
+
+    import lmms_owc_tpu.pipelines.text as text_pipe
+
+    corpus = [
+        "a photo of a golden retriever sitting on the grass",
+        "this looks like some kind of dog, maybe a labrador retriever",
+        "an aircraft on a runway at the San Francisco airport",
+        "the image shows a bowl of ramen with a soft boiled egg",
+    ]
+    skip = ["photo", "image"]
+    ours = text_pipe.concept_extraction(corpus, skip_words=skip, remove_prefix_words=True)
+    if text_pipe._spacy_model is None:
+        failures.append("concepts: real spaCy model never loaded (fallback path ran)")
+        return failures
+    print(f"spaCy concepts (en_core_web_lg): {ours}")
+    if not any(any("retriever" in c for c in row) for row in ours[:2]):
+        failures.append(f"concepts: no retriever concept extracted from dog captions: {ours[:2]}")
+    if any(any(w in c for c in row) for row in ours for w in skip):
+        failures.append(f"concepts: skip_words leaked into {ours}")
+
+    if reference_repo is not None:
+        ref_root = Path(reference_repo)
+        if not (ref_root / "src").exists():
+            failures.append(f"concepts: --reference_repo {reference_repo} has no src/")
+            return failures
+        sys.path.insert(0, str(ref_root))
+        try:
+            # Reference API is batch-dict shaped (src/data/pipelines/text/_text.py:18):
+            # in-place {"text": [...]} -> {"text_concepts": [[...], ...]}.
+            from src.data.pipelines.text import concept_extraction_spacy as ref_extract
+
+            theirs = ref_extract(
+                {"text": list(corpus)}, skip_words=skip, remove_prefix_words=True
+            )["text_concepts"]
+            if ours != theirs:
+                failures.append(f"concepts: ours {ours} != reference {theirs}")
+            else:
+                print("spaCy concept lists identical to the reference implementation")
+        except ImportError as exc:
+            failures.append(f"concepts: reference import failed: {exc}")
+        finally:
+            sys.path.remove(str(ref_root))
+    else:
+        print("no --reference_repo: skipped reference concept-list diff")
+    return failures
+
+
+def verify_scoring(checkpoint_root: Path, reference_repo: Path | None = None) -> list[str]:
     """Drive the real scoring checkpoints through the from_pretrained
     converters; cross-check against torch when available. Returns failures."""
-    failures = []
+    failures = list(verify_spacy_concepts(reference_repo))
     corpus = [
         "a photo of a golden retriever",
         "this looks like some kind of dog, maybe a labrador",
@@ -239,6 +399,17 @@ def main(argv: list[str] | None = None) -> int:
                         help="bfloat16 = fidelity mode (docs/deployment.md)")
     parser.add_argument("--tolerance", type=float, default=1e-3)
     parser.add_argument("--scoring", action="store_true", help="also verify scoring models")
+    parser.add_argument("--classification", action="store_true",
+                        help="also run the 10-classification-benchmark workload")
+    parser.add_argument("--pinned_classification", type=Path, default=None,
+                        help="recorded classification table to compare against "
+                             "({model: {task: {metric: value}}} JSON)")
+    parser.add_argument("--record_classification", type=Path, default=None,
+                        help="write the measured classification table here "
+                             "(generate the pinned table from a trusted run)")
+    parser.add_argument("--reference_repo", type=Path, default=None,
+                        help="path to an altndrr/lmms-owc checkout: enables the "
+                             "real-spaCy concept-list diff under --scoring")
     parser.add_argument("--dry_run", action="store_true", help="print commands only")
     args = parser.parse_args(argv)
 
@@ -279,9 +450,59 @@ def main(argv: list[str] | None = None) -> int:
         if failures:
             all_failures[plan["model"]] = failures
 
+    if args.classification:
+        cls_plans = build_classification_commands(
+            args.checkpoint_root, args.output_root, models, args.limit, args.dtype
+        )
+        pinned_cls = (
+            json.loads(args.pinned_classification.read_text())
+            if args.pinned_classification
+            else None
+        )
+        recorded: dict[str, dict] = {}
+        for plan in cls_plans:
+            print(f"\n=== {plan['model']} classification ({plan['checkpoint']}) ===")
+            if args.dry_run:
+                print(" ".join(str(c) for c in plan["cmd"]))
+                continue
+            if not Path(plan["checkpoint"]).exists():
+                print("checkpoint absent, skipped")
+                continue
+            plan["output_path"].mkdir(parents=True, exist_ok=True)
+            proc = subprocess.run(plan["cmd"], cwd=REPO, capture_output=True, text=True)
+            (plan["output_path"] / "command_output.log").write_text(proc.stdout)
+            (plan["output_path"] / "command_output.err").write_text(proc.stderr)
+            if proc.returncode != 0:
+                all_failures[f"{plan['model']}/classification"] = [
+                    f"CLI rc={proc.returncode}; see command_output.err"
+                ]
+                continue
+            results_file = next(
+                iter(glob(f"{plan['output_path']}/**/*_results.json", recursive=True)), None
+            )
+            if results_file is None:
+                all_failures[f"{plan['model']}/classification"] = ["no *_results.json produced"]
+                continue
+            measured = extract_all_metric_values(
+                json.loads(Path(results_file).read_text()), plan["tasks"]
+            )
+            recorded[plan["model"]] = measured
+            for task in plan["tasks"]:
+                print(f"  {task}: {measured.get(task)}")
+            if pinned_cls and plan["model"] in pinned_cls:
+                failures = compare_classification(
+                    measured, pinned_cls[plan["model"]], args.tolerance
+                )
+                if failures:
+                    all_failures[f"{plan['model']}/classification"] = failures
+        if args.record_classification and not args.dry_run:
+            args.record_classification.parent.mkdir(parents=True, exist_ok=True)
+            args.record_classification.write_text(json.dumps(recorded, indent=2))
+            print(f"\nrecorded classification table -> {args.record_classification}")
+
     if args.scoring and not args.dry_run:
         print("\n=== scoring models ===")
-        failures = verify_scoring(args.checkpoint_root)
+        failures = verify_scoring(args.checkpoint_root, args.reference_repo)
         if failures:
             all_failures["scoring"] = failures
 

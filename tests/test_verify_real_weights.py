@@ -104,3 +104,76 @@ def test_real_weights_matrix():  # pragma: no cover - weights-enabled machines o
     root = Path("/checkpoints") if Path("/checkpoints").exists() else Path.home() / "checkpoints"
     rc = vrw.main(["--checkpoint_root", str(root), "--scoring"])
     assert rc == 0
+
+
+def test_classification_commands_cover_the_10_benchmarks(tmp_path):
+    """The paper workload (reference src/data/tasks/_classification/): 10 base
+    tasks per model at limit=8, same CLI shape as the example-task matrix."""
+    plans = vrw.build_classification_commands(tmp_path / "ckpts", tmp_path / "out")
+    assert len(plans) == 7
+    for plan in plans:
+        cmd = plan["cmd"]
+        assert cmd[cmd.index("--tasks") + 1] == (
+            "caltech101,dtd,eurosat,fgvc_aircraft,flowers102,"
+            "food101,oxford_pets,stanford_cars,sun397,ucf101"
+        )
+        assert cmd[cmd.index("--limit") + 1] == "8"
+        assert cmd[cmd.index("--num_fewshot") + 1] == "0"
+        assert "classification" in str(plan["output_path"])
+
+
+def test_extract_all_metric_values_keeps_every_metric():
+    results = {
+        "results": {
+            "dtd": {
+                "alias": "dtd",
+                "concept_semantic_similarity,none": 0.41,
+                "concept_semantic_similarity_stderr,none": 0.02,
+                "exact_match,none": 0.125,
+                "semantic_similarity,none": 0.55,
+                "textual_inclusion,none": 0.25,
+            }
+        }
+    }
+    out = vrw.extract_all_metric_values(results, ["dtd", "eurosat"])
+    assert out["dtd"] == {
+        "concept_semantic_similarity,none": 0.41,
+        "exact_match,none": 0.125,
+        "semantic_similarity,none": 0.55,
+        "textual_inclusion,none": 0.25,
+    }
+    assert out["eurosat"] == {}  # absent task -> empty, reported downstream
+
+
+def test_compare_classification_diffs_per_metric():
+    pinned = {"dtd": {"exact_match,none": 0.125, "semantic_similarity,none": 0.55}}
+    measured = {"dtd": {"exact_match,none": 0.125, "semantic_similarity,none": 0.60}}
+    failures = vrw.compare_classification(measured, pinned, 1e-3)
+    assert failures == [
+        "dtd/semantic_similarity,none: got 0.6, pinned 0.55 (tol 0.001)"
+    ]
+    assert vrw.compare_classification({}, pinned, 1e-3) == ["dtd: no measured values"]
+
+
+def test_classification_dry_run_exits_zero(tmp_path, capsys):
+    rc = vrw.main(
+        [
+            "--checkpoint_root", str(tmp_path), "--dry_run", "--classification",
+            "--models", "qwen2-vl-2b",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "qwen2-vl-2b classification" in out
+    assert "stanford_cars" in out
+
+
+def test_spacy_branch_skips_cleanly_without_spacy():
+    """In this environment spacy is absent: the branch must report skip, not fail."""
+    try:
+        import spacy  # noqa: F401
+
+        pytest.skip("spacy present here; branch exercised on weights machines")
+    except ImportError:
+        pass
+    assert vrw.verify_spacy_concepts(None) == []
