@@ -147,12 +147,22 @@ def plan_decode_pools(
     estimator when active; without it extension assumes the uniform 320
     bucket. Rows and buckets are planning estimates only — actual shapes are
     set downstream by the real tokenization.
+
+    ``LMMS_OWC_POOL_KV_CAP_X`` overrides the 1.5x footprint multiplier: the
+    1.5x was calibrated BEFORE incremental pool assembly (write_pool_chunk
+    donation) cut assembly peak from all-chunks-held to pool+one-chunk, so a
+    higher cap may now fit — it is the binding constraint that leaves mixed-res
+    pools at ~60 of 96 rows (VERDICT r4 weak #2). Tune on hardware; OOM risk
+    is the tuner's.
     """
+    import os
+
     pools: list[list] = []
     cur_key = None
     rows = 0
     bucket = 0
-    kv_cap = int(1.5 * pool_n * batch_size * (320 + 64))
+    cap_x = float(os.environ.get("LMMS_OWC_POOL_KV_CAP_X", "1.5"))
+    kv_cap = int(cap_x * pool_n * batch_size * (320 + 64))
     for chunk in chunks:
         key = repr(chunk[0][1])
         n_rows = len(chunk)
