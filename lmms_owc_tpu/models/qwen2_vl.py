@@ -906,7 +906,12 @@ class Qwen2VL(Model):
         cache_len = l_max + pad_to_bucket(max_new_tokens, GEN_LEN_BUCKETS)
         total_rows = sum(len(rows) for rows, _ in prepared_list)
         kv_mask_np = np.zeros((total_rows, cache_len), np.int32)
-        cache_k = cache_v = None
+        # int8 KV serving (LMMS_OWC_KV_INT8): quantize each chunk's prefill KV
+        # BEFORE the pool write so the bf16 pool never exists — halves the
+        # resident pool (the footprint that caps row-target pool extension,
+        # plan_decode_pools) on top of halving the per-step decode read.
+        kv_int8 = qvl.kv_cache_int8_enabled()
+        cache_k = cache_v = scale_k = scale_v = None
         logits_all, next_all = [], []
         row_offset = 0
         for (rows, vision_flat), bucket_len in zip(prepared_list, bucket_lens):
@@ -924,17 +929,31 @@ class Qwen2VL(Model):
                 )
             if cache_k is None:
                 shape = (ks.shape[0], total_rows, ks.shape[2], cache_len, ks.shape[4])
-                cache_k = jnp.zeros(shape, ks.dtype)
-                cache_v = jnp.zeros(shape, vs.dtype)
+                if kv_int8:
+                    cache_k = jnp.zeros(shape, jnp.int8)
+                    cache_v = jnp.zeros(shape, jnp.int8)
+                    sshape = (shape[0], shape[1], shape[2], 8, cache_len)
+                    scale_k = jnp.zeros(sshape, jnp.float32)
+                    scale_v = jnp.zeros(sshape, jnp.float32)
+                else:
+                    cache_k = jnp.zeros(shape, ks.dtype)
+                    cache_v = jnp.zeros(shape, vs.dtype)
             front = l_max - bucket_len
-            cache_k, cache_v = qvl.write_pool_chunk(
-                cache_k,
-                cache_v,
-                ks,
-                vs,
-                jnp.asarray(row_offset, jnp.int32),
-                jnp.asarray(front, jnp.int32),
-            )
+            row_off = jnp.asarray(row_offset, jnp.int32)
+            front_off = jnp.asarray(front, jnp.int32)
+            if kv_int8:
+                kq, vq, sk, sv = qvl.quantize_kv_cache(ks, vs)
+                del ks, vs
+                cache_k, cache_v = qvl.write_pool_chunk(
+                    cache_k, cache_v, kq, vq, row_off, front_off
+                )
+                scale_k, scale_v = qvl.write_pool_scales(
+                    scale_k, scale_v, sk, sv, row_off, front_off
+                )
+            else:
+                cache_k, cache_v = qvl.write_pool_chunk(
+                    cache_k, cache_v, ks, vs, row_off, front_off
+                )
             kv_mask_np[row_offset : row_offset + len(rows), front : front + bucket_len] = (
                 attention_mask
             )
@@ -950,7 +969,7 @@ class Qwen2VL(Model):
         with hostprof("decode_dispatch"):
             tokens, _ = qvl.decode_pool(
                 self.params,
-                (cache_k, cache_v),
+                (cache_k, cache_v, scale_k, scale_v) if kv_int8 else (cache_k, cache_v),
                 logits0,
                 kv_mask,
                 next_pos_pool,

@@ -279,10 +279,17 @@ class JudgeModel:
 
         def run(pool: list[list[str]], prepared: list[tuple]) -> list[str]:
             l_max = max(p[0] for p in prepared)
-            cache_len = l_max + pad_to_bucket(MAX_NEW_TOKENS)
+            # Tight decode headroom: 16 new tokens need 16 cache slots, not
+            # pad_to_bucket(16)=128 — at batch 256 x pool 2 the slack alone was
+            # ~4 GB of pooled bf16 KV (the r5 pool-A/B RESOURCE_EXHAUSTED).
+            # 32-aligned keeps the token (sublane) axis tile-friendly; decode
+            # attention at these lengths takes the XLA path regardless.
+            cache_len = l_max + MAX_NEW_TOKENS
+            cache_len += (-cache_len) % 32
+            kv_int8 = qvl.kv_cache_int8_enabled()
             total_rows = sum(p[1].shape[0] for p in prepared)
             kv_mask_np = np.zeros((total_rows, cache_len), np.int32)
-            cache_k = cache_v = None
+            cache_k = cache_v = scale_k = scale_v = None
             logits_all, next_all = [], []
             row_offset = 0
             for bucket, input_ids, position_ids, mask, next_pos in prepared:
@@ -298,14 +305,33 @@ class JudgeModel:
                 )
                 if cache_k is None:
                     shape = (ks.shape[0], total_rows, ks.shape[2], cache_len, ks.shape[4])
-                    cache_k = jnp.zeros(shape, ks.dtype)
-                    cache_v = jnp.zeros(shape, vs.dtype)
+                    if kv_int8:
+                        cache_k = jnp.zeros(shape, jnp.int8)
+                        cache_v = jnp.zeros(shape, jnp.int8)
+                        sshape = (shape[0], shape[1], shape[2], 8, cache_len)
+                        scale_k = jnp.zeros(sshape, jnp.float32)
+                        scale_v = jnp.zeros(sshape, jnp.float32)
+                    else:
+                        cache_k = jnp.zeros(shape, ks.dtype)
+                        cache_v = jnp.zeros(shape, vs.dtype)
                 front = l_max - bucket
-                cache_k, cache_v = qvl.write_pool_chunk(
-                    cache_k, cache_v, ks, vs,
-                    jnp.asarray(row_offset, jnp.int32),
-                    jnp.asarray(front, jnp.int32),
-                )
+                row_off = jnp.asarray(row_offset, jnp.int32)
+                front_off = jnp.asarray(front, jnp.int32)
+                if kv_int8:
+                    # Quantize BEFORE the pool write: the bf16 pool never
+                    # exists (peak = int8 pool + one bf16 chunk).
+                    kq, vq, sk, sv = qvl.quantize_kv_cache(ks, vs)
+                    del ks, vs
+                    cache_k, cache_v = qvl.write_pool_chunk(
+                        cache_k, cache_v, kq, vq, row_off, front_off
+                    )
+                    scale_k, scale_v = qvl.write_pool_scales(
+                        scale_k, scale_v, sk, sv, row_off, front_off
+                    )
+                else:
+                    cache_k, cache_v = qvl.write_pool_chunk(
+                        cache_k, cache_v, ks, vs, row_off, front_off
+                    )
                 n_rows = mask.shape[0]
                 kv_mask_np[row_offset : row_offset + n_rows, front : front + bucket] = mask
                 logits_all.append(logits)
@@ -314,7 +340,7 @@ class JudgeModel:
 
             tokens, _ = qvl.decode_pool(
                 self.params,
-                (cache_k, cache_v),
+                (cache_k, cache_v, scale_k, scale_v) if kv_int8 else (cache_k, cache_v),
                 jnp.concatenate(logits_all, axis=0),
                 jnp.asarray(kv_mask_np),
                 jnp.asarray(np.concatenate(next_all), jnp.int32),

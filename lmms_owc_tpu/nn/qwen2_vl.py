@@ -52,6 +52,7 @@ __all__ = [
     "Qwen2VLConfig",
     "Qwen2VLVisionConfig",
     "write_pool_chunk",
+    "write_pool_scales",
     "convert_hf_decoder_weights",
     "convert_hf_weights",
     "decode_pool",
@@ -1446,6 +1447,31 @@ def write_pool_chunk(
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def write_pool_scales(
+    scale_k: jax.Array,
+    scale_v: jax.Array,
+    sk: jax.Array,
+    sv: jax.Array,
+    row_offset: jax.Array,
+    front: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Scale-pool companion to :func:`write_pool_chunk` for int8 pool assembly.
+
+    ``sk``/``sv`` are one chunk's [L, B_i, KVH, 8, S_i] dequant scales from
+    :func:`quantize_kv_cache` — the token axis is LAST here (lane-aligned with
+    the decode kernel's scale block), so the front offset applies to axis 4
+    where :func:`write_pool_chunk`'s applies to axis 3. Donated like the q
+    pools: peak = pool + one chunk.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    start = (zero, row_offset.astype(jnp.int32), zero, zero, front.astype(jnp.int32))
+    return (
+        jax.lax.dynamic_update_slice(scale_k, sk.astype(scale_k.dtype), start),
+        jax.lax.dynamic_update_slice(scale_v, sv.astype(scale_v.dtype), start),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "max_new_tokens", "prompt_len", "do_sample"),
@@ -1480,7 +1506,10 @@ def decode_pool(
     ~3 GB at pool=3 on the 7B) to initialize the while-loop carry. Callers
     drop it.
     """
-    if kv_cache_int8_enabled():
+    if kv_cache_int8_enabled() and len(cache) == 2:
+        # Callers may assemble the pool already-quantized (4-tuple from
+        # quantize_kv_cache + write_pool_chunk/write_pool_scales) so the bf16
+        # pool never exists; a 2-tuple bf16 pool is quantized here.
         cache = quantize_kv_cache(*cache)
     return _decode_loop(
         params, logits0, cache, kv_mask, next_positions, config, max_new_tokens,

@@ -238,3 +238,29 @@ class TestPoolKvCapKnob:
             chunks, pool_n=2, batch_size=48, bucket_fn=lambda c: 640
         )
         assert [len(p) for p in pools] == [3, 1]
+
+
+class TestDecodePoolKvInt8:
+    def test_int8_pool_matches_int8_unpooled(self, pool_model, monkeypatch):
+        """LMMS_OWC_KV_INT8 + LMMS_OWC_DECODE_POOL compose token-identically.
+
+        Per-vector KV quantization is position-independent, so quantizing each
+        chunk BEFORE the front-padded pool write (models/qwen2_vl.py _run_pooled
+        kv_int8 branch — the bf16 pool never exists) must produce the same
+        tokens as the unpooled int8 path (greedy_generate, which quantizes the
+        already-padded cache)."""
+        import jax
+
+        contexts = ["What is this?", "And this?", "Also this?", "More?"]
+        gk = {"max_new_tokens": 8, "do_sample": False, "until": None}
+        reqs = _make_requests(pool_model, contexts, [gk] * len(contexts))
+        monkeypatch.setenv("LMMS_OWC_KV_INT8", "force")
+        monkeypatch.delenv("LMMS_OWC_DECODE_POOL", raising=False)
+        jax.clear_caches()
+        base = pool_model.generate_until(reqs)
+        monkeypatch.setenv("LMMS_OWC_DECODE_POOL", "2")
+        pooled = pool_model.generate_until(reqs)
+        monkeypatch.delenv("LMMS_OWC_DECODE_POOL", raising=False)
+        monkeypatch.delenv("LMMS_OWC_KV_INT8", raising=False)
+        jax.clear_caches()
+        assert pooled == base

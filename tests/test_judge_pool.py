@@ -71,3 +71,22 @@ class TestJudgeDecodePool:
         monkeypatch.setenv("LMMS_OWC_JUDGE_DECODE_POOL", "4")
         pooled = judge.score_pairs(list(PROMPTS), None, None)
         assert pooled == base
+
+
+class TestJudgePoolKvInt8:
+    def test_int8_pool_matches_int8_unpooled(self, monkeypatch):
+        """Pooled judge with the int8 KV pool (quantize-before-write assembly)
+        matches the unpooled int8 path token-for-token — the memory shape that
+        fits pool=2 x batch 256 on a 16 GB chip (the bf16 pool OOM'd, r5)."""
+        import jax
+
+        judge = _tiny_judge(monkeypatch, batch_size=4)
+        monkeypatch.setenv("LMMS_OWC_KV_INT8", "force")
+        monkeypatch.delenv("LMMS_OWC_JUDGE_DECODE_POOL", raising=False)
+        jax.clear_caches()
+        base = judge.score_pairs(list(PROMPTS), None, None)
+        monkeypatch.setenv("LMMS_OWC_JUDGE_DECODE_POOL", "2")
+        pooled = judge.score_pairs(list(PROMPTS), None, None)
+        monkeypatch.delenv("LMMS_OWC_KV_INT8", raising=False)
+        jax.clear_caches()
+        assert pooled == base
