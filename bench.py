@@ -134,6 +134,7 @@ def _config_fingerprint(metric: str) -> str:
         os.environ.get("BENCH_INT8", "1"),
         os.environ.get("BENCH_INT8_ACT", "1"),
         os.environ.get("BENCH_INT4", "0"),
+        os.environ.get("LMMS_OWC_KV_INT8", ""),
     ]
     return "|".join(parts)
 
@@ -528,6 +529,12 @@ def main() -> None:
     known = (
         "qwen2-vl-2b", "qwen2-vl-7b", "qwen2-vl-tiny",
         "qwen2.5-vl-3b", "qwen2.5-vl-7b", "qwen2.5-vl-tiny",
+        # Second-tier families from the BASELINE.json sweep configs (VERDICT r4
+        # #8): profiled with the same random-init int8 + batched serving as the
+        # flagship. OneVision-7B shares the Qwen2-7B backbone; the adapter
+        # generates + quantizes on device (models/llava_onevision.py).
+        "llava-onevision-qwen2-7b-ov", "llava-onevision-qwen2-0.5b-ov",
+        "internvl2-2b",
     )
     model = get_model(
         preset if preset in known else "qwen2-vl-7b",

@@ -115,6 +115,11 @@ class LlavaOnevision(Model):
         self.max_anyres_tiles = max_anyres_tiles
         self.random_init = random_init or pretrained is None
         self.jax_random_seed = jax_random_seed
+        # Random-init + int8/int4: generate and quantize every tensor ON
+        # DEVICE (the flagship's strategy) — the bf16 7B tree (~16 GB) never
+        # exists anywhere and nothing crosses the ~20 MB/s tunneled host link.
+        # Checkpoint loads keep the base class's host-stream-quantize path.
+        self._handles_quantized_load = self.random_init
         super().__init__(model_id=preset, **kwargs)
 
     def load_model(self) -> None:
@@ -191,24 +196,44 @@ class LlavaOnevision(Model):
             self.tokenizer = AutoTokenizer.from_pretrained(self.pretrained)
             log.info("loaded %s from %s", self.preset, self.pretrained)
         else:
-            keys = jax.random.split(jax.random.PRNGKey(self.jax_random_seed), 4)
             e, h = self.vision_config.hidden_size, self.text_config.hidden_size
-            idefics_like = idf.init_idefics2_params(
-                keys[0],
-                idf.Idefics2Config(text=self.text_config, vision=self.vision_config),
-                dtype,
-            )
-            self.params = {
-                "text": init_decoder_params(
-                    keys[1], self.decoder_config, dtype, attn_bias=self.text_attn_bias
-                ),
-                "vision": idefics_like["vision"],
-                "projector": {
-                    "fc1": {"w": (jax.random.normal(keys[2], (e, h)) * 0.02).astype(dtype), "b": jnp.zeros(h, dtype)},
-                    "fc2": {"w": (jax.random.normal(keys[3], (h, h)) * 0.02).astype(dtype), "b": jnp.zeros(h, dtype)},
-                },
-                "image_newline": jnp.zeros(h, dtype),
-            }
+
+            def build_tree():
+                keys = jax.random.split(jax.random.PRNGKey(self.jax_random_seed), 4)
+                idefics_like = idf.init_idefics2_params(
+                    keys[0],
+                    idf.Idefics2Config(text=self.text_config, vision=self.vision_config),
+                    dtype,
+                )
+                return {
+                    "text": init_decoder_params(
+                        keys[1], self.decoder_config, dtype, attn_bias=self.text_attn_bias
+                    ),
+                    "vision": idefics_like["vision"],
+                    "projector": {
+                        "fc1": {"w": (jax.random.normal(keys[2], (e, h)) * 0.02).astype(dtype), "b": jnp.zeros(h, dtype)},
+                        "fc2": {"w": (jax.random.normal(keys[3], (h, h)) * 0.02).astype(dtype), "b": jnp.zeros(h, dtype)},
+                    },
+                    "image_newline": jnp.zeros(h, dtype),
+                }
+
+            if self.load_in_8bit or self.load_in_4bit:
+                from lmms_owc_tpu.ops.quant import init_quantized_on_device
+
+                self.params = init_quantized_on_device(
+                    jax.eval_shape(build_tree),
+                    self.jax_random_seed,
+                    dtype=dtype,
+                    bits=4 if self.load_in_4bit else 8,
+                    host_rng=jax.default_backend() != "tpu",
+                )
+                self._int8_applied = True
+                log.info(
+                    "random-init int%d weights generated on device",
+                    4 if self.load_in_4bit else 8,
+                )
+            else:
+                self.params = build_tree()
             self.tokenizer = _FallbackOVTokenizer(self.image_token_id)
             log.warning("random-init %s (benchmarking mode, no checkpoint)", self.preset)
 
