@@ -64,6 +64,29 @@ def chip_probe(n_iters: int = 3) -> tuple[float, list[float]]:
     return sorted(ts)[len(ts) // 2], [round(t, 1) for t in ts]
 
 
+def link_probe(mb: int = 32) -> float:
+    """Host->device bulk-bandwidth probe (MB/s), fetch-terminated.
+
+    The device-compute probe (chip_probe) misses a distinct degradation mode:
+    bulk transfer bandwidth collapse. The throughput bench uploads ~29 MB of
+    uint8 pixels per 48-image chunk (231 MB per 384-image run) — normally
+    hidden behind compute by the pipelined prep, but when the tunnel's bulk
+    lane degrades the uploads become the wall (r5 session 3: wall 23.3 ->
+    19 -> 17 -> 12.7 img/s across 80 busy minutes while the compute probe read
+    a healthy 50 ms throughout). Recording MB/s next to every probe makes the
+    state visible in the bench JSON; BENCH_LINK_MBPS_MIN (default 0 =
+    record-only) adds it to the gate once calibrated.
+    """
+    import jax
+    import numpy as np
+
+    jax.block_until_ready(jax.device_put(np.ones((1 << 20,), np.uint8)))  # setup warm
+    arr = np.ones((mb << 20,), np.uint8)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(arr))
+    return mb / max(time.perf_counter() - t0, 1e-9)
+
+
 def health_gate(report: dict) -> None:
     """Gate the timed region on chip + host health; record findings in ``report``.
 
@@ -91,18 +114,25 @@ def health_gate(report: dict) -> None:
     load_max = float(os.environ.get("BENCH_LOAD_MAX", "0.7"))
     history: list[dict] = []
     report["probe_nominal_ms"] = nominal
+    bw_min = float(os.environ.get("BENCH_LINK_MBPS_MIN", "0"))
     for attempt in range(max(1, tries)):
         load1 = os.getloadavg()[0]
         probe_ms, probe_all = chip_probe()
+        link_mbps = link_probe()
         entry = {"load1": round(load1, 2), "probe_ms": round(probe_ms, 1),
-                 "probe_all_ms": probe_all}
+                 "probe_all_ms": probe_all, "link_mbps": round(link_mbps, 1)}
         history.append(entry)
-        healthy = probe_ms <= nominal * factor and load1 <= load_max
+        healthy = (
+            probe_ms <= nominal * factor and load1 <= load_max
+            and link_mbps >= bw_min
+        )
         if healthy:
             report["chip_state"] = "healthy"
             break
         report["chip_state"] = (
-            "degraded_probe" if probe_ms > nominal * factor else "host_busy"
+            "degraded_probe"
+            if probe_ms > nominal * factor
+            else ("degraded_link" if link_mbps < bw_min else "host_busy")
         )
         if attempt < tries - 1:
             print(
