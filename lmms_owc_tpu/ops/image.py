@@ -168,6 +168,13 @@ def resize_host(
     resized_h, resized_w = smart_resize(
         height, width, factor=factor, min_pixels=min_pixels, max_pixels=max_pixels
     )
+    if (resized_h, resized_w) == (height, width):
+        # Identity resize: PIL's Image.resize special-cases same-size to a
+        # plain copy (no resample), so skipping the bicubic here is exact
+        # PIL/HF parity — and it removes ~10 ms/image of single-core host work
+        # whenever inputs already sit on the target grid (e.g. 448x448 inputs
+        # under the default max_pixels budget).
+        return np.asarray(image).transpose(2, 0, 1), (resized_h, resized_w)
     loader = _get_native_loader()
     if loader is not None:
         chw = loader.resize_u8(np.asarray(image), resized_h, resized_w)

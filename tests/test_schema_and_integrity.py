@@ -65,3 +65,22 @@ class TestNativeLoaderFallback:
         assert chw_pil.shape == chw_nat.shape
         # The C++ loader replicates PIL's antialiased bicubic; allow 1-bit noise.
         assert np.abs(chw_pil.astype(np.int32) - chw_nat.astype(np.int32)).max() <= 1
+
+    def test_identity_resize_is_exact_passthrough(self):
+        """An input already on the target grid must come back pixel-identical.
+
+        PIL's Image.resize special-cases same-size to a copy (no resample), so
+        the fast path (skip the resampler entirely) is exact parity — and it is
+        what the uniform-448 serving workload hits on every image.
+        """
+        from PIL import Image
+
+        from lmms_owc_tpu.ops import image as img_ops
+
+        rng = np.random.RandomState(1)
+        arr = rng.randint(0, 255, (448, 448, 3), dtype=np.uint8)
+        chw, dims = img_ops.resize_host(
+            Image.fromarray(arr), 4 * 28 * 28, 1024 * 28 * 28, 28
+        )
+        assert dims == (448, 448)
+        assert np.array_equal(chw, arr.transpose(2, 0, 1))
