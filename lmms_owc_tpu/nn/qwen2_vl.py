@@ -670,6 +670,11 @@ def vision_encode_batch(
         freqs_fm = jnp.swapaxes(rope_freqs, 1, 2).astype(jnp.float32)  # [N, hd/2, P]
         cos_fm = jnp.cos(freqs_fm)
         sin_fm = jnp.sin(freqs_fm)
+        # NOTE (r5 xplane): the per-layer f32[48,40,1024] cos/sin copies into
+        # each pallas call (copy-start.2/.3) are ASYNC DMAs overlapped with
+        # compute — forcing a dense materialization out of the scan (flat-
+        # reshape roundtrip) measured 379.8 vs 370.5 ms/call, i.e. they are
+        # not on the critical path. Leave the layout to XLA.
 
         def block(x, layer):  # x [N, C, P]
             normed = layer_norm_fm(layer["norm1"], x, eps=1e-6)

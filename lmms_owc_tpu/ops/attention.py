@@ -1041,6 +1041,16 @@ def _flash_kernel_fm(
 
     ``mask_ref`` is the optional [B, 2] SMEM (start, end) table of each row's
     contiguous valid run (None = no mask).
+
+    VPU economy (the r5 MFU table showed this kernel VPU-bound, not MXU-bound,
+    at the [48, 16, 1024, 80] bench shape — QK+PV are ~42 ms of ~130 ms/chunk):
+    the softmax scale AND log2(e) fold into the tiny [D, block_q] q tile before
+    the dot, and the exponentials run in base 2 (exp(x·scale) ≡ exp2(x·scale·
+    log2e) — the same softmax exactly), so the [block_k, block_q] score tensor
+    sees one fewer full multiply pass and each exp skips its internal
+    ·log2e step. With a single k-block (the 448px tower: L = block_k = 1024)
+    the online (m, l) update reduces to a plain softmax with no correction
+    terms.
     """
     head_dim = q_ref.shape[1]
     block_q = q_ref.shape[2]
@@ -1061,43 +1071,60 @@ def _flash_kernel_fm(
             cos_ref[0, :, pl.ds(i * block_q, block_q)],
             sin_ref[0, :, pl.ds(i * block_q, block_q)],
         )
+    # Fold scale·log2e into q (a [D, block_q] pass) so scores need no scaling
+    # pass and the exps can run in base 2. f32 multiply, cast back for the MXU.
+    _LOG2E = 1.4426950408889634
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
-    def body(kb, carry):
-        acc, m_prev, l_prev = carry
+    def scores_for(kb):
         k_blk = k_ref[0, :, pl.ds(kb * block_k, block_k)]  # [D, block_k]
-        v_blk = v_ref[0, :, pl.ds(kb * block_k, block_k)]
         if cos_ref is not None:
             k_blk = _rope_rotate_fm(
                 k_blk,
                 cos_ref[0, :, pl.ds(kb * block_k, block_k)],
                 sin_ref[0, :, pl.ds(kb * block_k, block_k)],
             )
-        # [block_k, block_q] f32: contraction over head_dim (sublanes of both).
+        # [block_k, block_q] f32 (log2 units): contraction over head_dim.
         scores = jax.lax.dot_general(
             k_blk, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        )
         if mask_ref is not None:
             k_abs = kb * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_k, block_q), 0
             )
             valid = (k_abs >= valid_start) & (k_abs < valid_end)
             scores = jnp.where(valid, scores, _NEG_INF)
+        return scores
 
-        m_cur = jnp.max(scores, axis=0, keepdims=True)  # [1, block_q]
-        m_new = jnp.maximum(m_prev, m_cur)
-        correction = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)
-        l_new = l_prev * correction + jnp.sum(p, axis=0, keepdims=True)
-        acc = acc * correction + jax.lax.dot_general(
+    def pv(kb, p):
+        v_blk = v_ref[0, :, pl.ds(kb * block_k, block_k)]
+        return jax.lax.dot_general(
             v_blk, p.astype(v_blk.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [D, block_q]
-        return acc, m_new, l_new
 
-    acc0 = jnp.zeros((head_dim, block_q), dtype=jnp.float32)
-    m0 = jnp.full((1, block_q), _NEG_INF, dtype=jnp.float32)
-    l0 = jnp.zeros((1, block_q), dtype=jnp.float32)
-    acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
+    if num_k_blocks == 1:
+        scores = scores_for(0)
+        m = jnp.max(scores, axis=0, keepdims=True)  # [1, block_q]
+        p = jnp.exp2(scores - m)
+        l_final = jnp.sum(p, axis=0, keepdims=True)
+        acc = pv(0, p)
+    else:
+        def body(kb, carry):
+            acc, m_prev, l_prev = carry
+            scores = scores_for(kb)
+            m_cur = jnp.max(scores, axis=0, keepdims=True)  # [1, block_q]
+            m_new = jnp.maximum(m_prev, m_cur)
+            correction = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(scores - m_new)
+            l_new = l_prev * correction + jnp.sum(p, axis=0, keepdims=True)
+            acc = acc * correction + pv(kb, p)
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((head_dim, block_q), dtype=jnp.float32)
+        m0 = jnp.full((1, block_q), _NEG_INF, dtype=jnp.float32)
+        l0 = jnp.zeros((1, block_q), dtype=jnp.float32)
+        acc, _, l_final = jax.lax.fori_loop(0, num_k_blocks, body, (acc0, m0, l0))
     out = acc / jnp.maximum(l_final, 1e-30)
     o_ref[0, :, :] = out.astype(o_ref.dtype)
 
@@ -1152,9 +1179,20 @@ def fused_qkv_attention_fm(
             min_kv = int(os.environ.get("LMMS_OWC_PALLAS_MIN_KV", "288"))
             use_pallas = jax.default_backend() == "tpu" and l >= min_kv
     if block_q is None:
-        block_q = max(
-            (x for x in (128, 256, 512) if x <= l and l % x == 0), default=128
-        )
+        import os
+
+        env_bq = int(os.environ.get("LMMS_OWC_VISION_BLOCK_Q", "0"))
+        if env_bq and l % env_bq == 0 and env_bq <= l:
+            block_q = env_bq
+        else:
+            # 1024 included since the r5 microbench A/B at [48,16,1024,80]:
+            # block_q 512 -> 1024 cut the tower 392.6 -> 370.5 ms/call (fewer
+            # programs, k-rope rotated once per head). VMEM stays modest
+            # (f32 scores block 4 MB).
+            block_q = max(
+                (x for x in (128, 256, 512, 1024) if x <= l and l % x == 0),
+                default=128,
+            )
     if block_k is None:
         block_k = max(
             (x for x in (128, 256, 512, 1024) if x <= l and l % x == 0), default=128

@@ -101,7 +101,11 @@ def main() -> int:
 
     def run():
         out = qvl.vision_encode_batch(params, patches, freqs, None, vcfg)
-        jax.block_until_ready(out)
+        # Terminal FETCH, not block_until_ready: the axon tunnel defers
+        # execution until a host fetch, so timing without one measures nothing
+        # (ROUND_NOTES operational note; first version of this tool read
+        # 0.05 ms/call). The tiny slice forces the whole program.
+        np.asarray(out[0, 0, :8])
         return out
 
     for _ in range(args.warmup):
