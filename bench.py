@@ -74,8 +74,15 @@ def link_probe(mb: int = 32) -> float:
     lane degrades the uploads become the wall (r5 session 3: wall 23.3 ->
     19 -> 17 -> 12.7 img/s across 80 busy minutes while the compute probe read
     a healthy 50 ms throughout). Recording MB/s next to every probe makes the
-    state visible in the bench JSON; BENCH_LINK_MBPS_MIN (default 0 =
-    record-only) adds it to the gate once calibrated.
+    state visible in the bench JSON; BENCH_LINK_MBPS_MIN gates on it.
+
+    Calibration (r5 session 5, same hour, same code): healthy captures read
+    27.6-84.9 MB/s alongside 24.2 img/s; a degraded capture read 8.4 MB/s
+    alongside 12.0-13.0 img/s on a healthy 55 ms compute probe — the upload
+    wall at 29 MB/chunk over 8.4 MB/s is ~13 img/s, matching exactly. Gate
+    default is 12 MB/s: comfortably above the collapsed state, comfortably
+    below every healthy reading, so the gate idle-waits (bounded) through
+    collapse episodes instead of recording them as the official number.
     """
     import jax
     import numpy as np
@@ -114,7 +121,7 @@ def health_gate(report: dict) -> None:
     load_max = float(os.environ.get("BENCH_LOAD_MAX", "0.7"))
     history: list[dict] = []
     report["probe_nominal_ms"] = nominal
-    bw_min = float(os.environ.get("BENCH_LINK_MBPS_MIN", "0"))
+    bw_min = float(os.environ.get("BENCH_LINK_MBPS_MIN", "12"))
     for attempt in range(max(1, tries)):
         load1 = os.getloadavg()[0]
         probe_ms, probe_all = chip_probe()
